@@ -1,0 +1,98 @@
+"""Production inference CLI — drop-in analog of the reference's
+segment_video.py (flags, defaults, logging shape, output naming preserved;
+reference: segment_video.py:81-126).
+
+Extra TPU-era flags (all optional, defaults match the reference exactly):
+
+- ``--decode-workers N``   chunk-parallel host decode (N>1 enables it)
+- ``--device-resize``      run the cv2-exact bilinear resize on the TPU
+- ``--cache-scores PATH``  resumable per-frame score cache
+- ``--profile DIR``        write a jax.profiler trace of the run
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from cut_detection_tpu.utils.logging import setup_logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "Segment a video into scenes.", fromfile_prefix_chars="@"
+    )
+    p.add_argument("input_path", type=str, help="Path to video to segment.")
+    p.add_argument("--output_path", type=str, default=None,
+                   help="Path to output csv")
+    p.add_argument(
+        "--base-threshold", type=int, default=100,
+        help="Number of frames below which an A22 or EZ segment will be "
+             "considered an orphan.")
+    p.add_argument(
+        "--blank-threshold", type=int, default=10,
+        help="Number of frames below which a blank segment will be "
+             "considered an orphan.")
+    p.add_argument("--batch-size", type=int, default=128,
+                   help="Batch size for loading frames.")
+    p.add_argument("--print-every", type=int, default=50,
+                   help="Log message every n batches. 0 to disable.")
+    p.add_argument("--frame-limit", type=int, default=None,
+                   help="Limit how many frames are processed. Mainly for "
+                        "testing.")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force CPU execution even if a TPU is available.")
+    # TPU-era extensions:
+    p.add_argument("--decode-workers", type=int, default=1,
+                   help="Parallel decode threads (1 = sequential reference "
+                        "behavior).")
+    p.add_argument("--device-resize", action="store_true",
+                   help="Resize frames on the accelerator (bit-exact cv2 "
+                        "emulation) instead of the host.")
+    p.add_argument("--cache-scores", type=str, default=None,
+                   help="Path to a per-frame score cache (.npz); resumes "
+                        "from it if present.")
+    p.add_argument("--profile", type=str, default=None,
+                   help="Directory for a jax.profiler trace of the run.")
+    return p
+
+
+def main(args=None) -> str:
+    parser = build_parser()
+    ns = parser.parse_args(args)
+    setup_logging()
+
+    if ns.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from cut_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    logging.info("Using %s", jax.devices()[0].platform)
+
+    from cut_detection_tpu.pipeline import segment_video_file
+    from cut_detection_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(ns.profile):
+        out_path, _, _ = segment_video_file(
+            ns.input_path,
+            ns.output_path,
+            base_threshold=ns.base_threshold,
+            blank_threshold=ns.blank_threshold,
+            batch_size=ns.batch_size,
+            frame_limit=ns.frame_limit,
+            print_every=ns.print_every,
+            decode_workers=ns.decode_workers,
+            device_resize=ns.device_resize,
+            cache_path=ns.cache_scores,
+        )
+    return out_path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Threaded prefetching batch loader.
+
+Replaces ``torch.utils.data.DataLoader(num_workers=3)``
+(supervised_training.py:78-91, learn_contrasts.py:59-61) with a
+thread-pool loader: JPEG decode in cv2 releases the GIL, so threads give
+process-free parallelism, and batches are assembled into contiguous uint8
+arrays ready for a single host->device transfer.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+
+import numpy as np
+
+
+def _collate(items: list[dict]) -> dict:
+    out = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        first = np.asarray(vals[0])
+        if first.ndim == 0:
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = np.stack(vals)
+    return out
+
+
+def iter_batches(dataset, batch_size: int, *, shuffle: bool = False,
+                 drop_last: bool = False, seed: int | None = None,
+                 indices=None, num_workers: int = 0):
+    """Yield collated dict batches from an indexable dataset.
+
+    ``indices`` restricts/reorders the dataset (torch ``Subset`` analog,
+    supervised_training.py:75-76).
+    """
+    if indices is None:
+        indices = np.arange(len(dataset))
+    else:
+        indices = np.asarray(indices)
+    if shuffle:
+        rng = np.random.default_rng(seed)
+        indices = rng.permutation(indices)
+    n = len(indices)
+
+    def load(i):
+        return dataset[int(i)]
+
+    if num_workers <= 0:
+        for s in range(0, n, batch_size):
+            chunk = indices[s: s + batch_size]
+            if drop_last and len(chunk) < batch_size:
+                break
+            yield _collate([load(i) for i in chunk])
+        return
+
+    with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for s in range(0, n, batch_size):
+            chunk = indices[s: s + batch_size]
+            if drop_last and len(chunk) < batch_size:
+                break
+            yield _collate(list(pool.map(load, chunk)))
+
+
+class PrefetchLoader:
+    """Iterator wrapper that prefetches ``depth`` batches on a thread.
+
+    Keeps host decode/augment running while the device computes, the
+    standard double-buffering needed to hide input latency on TPU.
+    """
+
+    def __init__(self, iterable, depth: int = 2):
+        self.iterable = iterable
+        self.depth = depth
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def producer():
+            try:
+                for item in self.iterable:
+                    q.put(item)
+            except BaseException as e:  # propagate to consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item

@@ -1,0 +1,269 @@
+"""Video decode: streaming and chunk-parallel readers.
+
+Reference behavior (frameID/data.py:13-31, 184-234):
+
+- ``open_video`` wraps ``cv2.VideoCapture`` and reports fps (int-truncated),
+  length, width, height.
+- ``VideoDataset`` streams frames one at a time through a single capture,
+  resizing to width ``resize`` with height ``int(h * resize / w)`` and
+  converting to float32 RGB CHW on the host.
+
+TPU-first redesign:
+
+- Frames stay **uint8 BGR HWC** on the host; the flip/scale (and optionally
+  the resize) happen on device (cut_detection_tpu/ops/preprocess.py), so a
+  width-256 frame crosses PCIe as ~110 KB instead of ~442 KB of float32.
+- ``ParallelVideoReader`` decodes the video in N seek-separated chunks on N
+  threads (cv2 releases the GIL inside ``.read()``), with an in-order
+  reassembly queue.  The reference's single sequential ``VideoCapture`` is
+  the pipeline's bottleneck by construction (SURVEY.md §6); chunked decode
+  is the one place this rebuild intentionally departs from its structure.
+- Decode failures are *accounted* (``frames_failed``), not silently
+  swallowed: the reference stops at the first failed read, quietly
+  truncating the video (frameID/data.py:213-216).  We keep the truncating
+  default for parity but log it.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the target image
+    cv2 = None
+
+from cut_detection_tpu.ops.resize import reference_resize_dims
+
+logger = logging.getLogger(__name__)
+
+
+def _require_cv2():
+    if cv2 is None:
+        raise ImportError(
+            "OpenCV (cv2) is required for video decode. Install opencv-python "
+            "or use the native decoder fallback."
+        )
+
+
+def open_video(video_path: str):
+    """Open a video; return (capture, info).  frameID/data.py:13-31 contract.
+
+    ``fps`` is int-truncated exactly like the reference (data.py:20).
+    """
+    _require_cv2()
+    cap = cv2.VideoCapture(video_path)
+    fps = int(cap.get(cv2.CAP_PROP_FPS))
+    length = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    return cap, {"fps": fps, "length": length, "width": width, "height": height}
+
+
+class VideoFrameSource:
+    """Sequential frame iterator yielding uint8 BGR HWC numpy frames.
+
+    With ``resize`` set, frames are resized on the host with
+    ``cv2.resize(..., INTER_LINEAR)`` using the reference's size rule — this
+    keeps resized pixels bit-identical to frameID/data.py:218-222.  With
+    ``resize=None`` raw frames are yielded (for on-device resize).
+    """
+
+    def __init__(self, file_path: str, resize: int | None = None):
+        self.cap, self.video_info = open_video(file_path)
+        self.frames_read = 0
+        self.frames_failed = 0
+        if resize is not None:
+            self.new_width, self.new_height = reference_resize_dims(
+                self.video_info["width"], self.video_info["height"], resize
+            )
+        else:
+            self.new_width = self.new_height = None
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        ret, frame = self.cap.read()
+        if not ret:
+            if self.frames_read < self.video_info["length"]:
+                self.frames_failed = self.video_info["length"] - self.frames_read
+                logger.warning(
+                    "Decode ended early: %d/%d frames decoded (%d missing).",
+                    self.frames_read, self.video_info["length"],
+                    self.frames_failed,
+                )
+            raise StopIteration
+        if self.new_width is not None:
+            frame = cv2.resize(
+                frame, (self.new_width, self.new_height),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        self.frames_read += 1
+        return frame
+
+    def __len__(self) -> int:
+        return self.video_info["length"]
+
+    def close(self) -> None:
+        self.cap.release()
+
+
+class VideoDataset(VideoFrameSource):
+    """Drop-in analog of frameID/data.py:184-234's ``VideoDataset``.
+
+    Yields float32 **RGB HWC** frames in [0, 1] (the reference yields CHW;
+    this package is NHWC throughout).  Prefer ``VideoFrameSource`` +
+    device-side preprocessing in production — this class exists for API
+    parity and host-only use.
+    """
+
+    def __next__(self) -> np.ndarray:
+        frame = super().__next__()
+        return frame[..., ::-1].astype(np.float32) / 255.0
+
+
+class ParallelVideoReader:
+    """Chunk-parallel in-order video decode.
+
+    The video's frame range is cut into ``chunk_frames``-sized chunks;
+    ``num_threads`` workers each own a private ``cv2.VideoCapture``, seek to
+    their next chunk's first frame (``CAP_PROP_POS_FRAMES``), decode it
+    sequentially (resizing on the host when ``resize`` is set), and publish
+    ``(chunk_idx, frames)`` to a bounded queue.  The consumer reassembles
+    chunks in order, so the frame stream is identical to sequential decode
+    for codecs with exact seeking (every test fixture verifies this; pass
+    ``num_threads=1`` to force the strictly-sequential reference behavior).
+    """
+
+    def __init__(self, file_path: str, resize: int | None = None,
+                 num_threads: int = 4, chunk_frames: int = 256,
+                 max_pending_chunks: int | None = None):
+        _require_cv2()
+        self.file_path = file_path
+        self.resize = resize
+        cap, self.video_info = open_video(file_path)
+        cap.release()
+        self.length = self.video_info["length"]
+        self.chunk_frames = chunk_frames
+        self.num_threads = max(1, min(num_threads, max(1, self.length // chunk_frames + 1)))
+        self.num_chunks = max(1, -(-self.length // chunk_frames))
+        self.frames_failed = 0
+        self._results: queue.Queue = queue.Queue(
+            maxsize=max_pending_chunks or 2 * self.num_threads
+        )
+        self._next_chunk = 0
+        self._chunk_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        if resize is not None:
+            self.new_width, self.new_height = reference_resize_dims(
+                self.video_info["width"], self.video_info["height"], resize
+            )
+        else:
+            self.new_width = self.new_height = None
+
+    def _claim_chunk(self) -> int | None:
+        with self._chunk_lock:
+            if self._next_chunk >= self.num_chunks:
+                return None
+            c = self._next_chunk
+            self._next_chunk += 1
+            return c
+
+    def _worker(self) -> None:
+        cap = cv2.VideoCapture(self.file_path)
+        try:
+            pos = -1  # current frame position of this capture
+            while not self._stop.is_set():
+                chunk = self._claim_chunk()
+                if chunk is None:
+                    break
+                start = chunk * self.chunk_frames
+                end = min(start + self.chunk_frames, self.length)
+                if pos != start:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+                frames = []
+                ok = True
+                for _ in range(end - start):
+                    ret, frame = cap.read()
+                    if not ret:
+                        ok = False
+                        break
+                    if self.new_width is not None:
+                        frame = cv2.resize(
+                            frame, (self.new_width, self.new_height),
+                            interpolation=cv2.INTER_LINEAR,
+                        )
+                    frames.append(frame)
+                pos = start + len(frames)
+                self._results.put((chunk, frames, ok))
+        finally:
+            cap.release()
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for t in range(self.num_threads):
+            th = threading.Thread(target=self._worker, daemon=True,
+                                  name=f"decode-{t}")
+            th.start()
+            self._threads.append(th)
+        pending: dict[int, tuple[list, bool]] = {}
+        emit = 0
+        truncated = False
+        try:
+            while emit < self.num_chunks and not truncated:
+                while emit not in pending:
+                    chunk, frames, ok = self._results.get()
+                    pending[chunk] = (frames, ok)
+                frames, ok = pending.pop(emit)
+                yield from frames
+                if not ok:
+                    # Mirror the reference's truncation-on-failure, loudly.
+                    start = emit * self.chunk_frames
+                    self.frames_failed = self.length - (start + len(frames))
+                    logger.warning(
+                        "Decode failed at frame %d; truncating (%d frames lost).",
+                        start + len(frames), self.frames_failed,
+                    )
+                    truncated = True
+                emit += 1
+        finally:
+            self._stop.set()
+            # Drain so workers blocked on put() can exit.
+            while any(t.is_alive() for t in self._threads):
+                try:
+                    self._results.get_nowait()
+                except queue.Empty:
+                    for t in self._threads:
+                        t.join(timeout=0.05)
+
+    def __len__(self) -> int:
+        return self.length
+
+
+def batch_frames(source, batch_size: int, *, pad_to_batch: bool = True):
+    """Group a frame iterator into [B, H, W, 3] uint8 batches.
+
+    Yields ``(batch, valid)`` where ``valid <= batch_size`` counts real
+    frames; when ``pad_to_batch`` the final batch is zero-padded so every
+    batch has the same static shape (one XLA compilation, no recompiles on
+    the ragged tail — the reference instead ships a smaller last batch,
+    segment_video.py:42).
+    """
+    buf: list[np.ndarray] = []
+    for frame in source:
+        buf.append(frame)
+        if len(buf) == batch_size:
+            yield np.stack(buf), batch_size
+            buf = []
+    if buf:
+        valid = len(buf)
+        if pad_to_batch and valid < batch_size:
+            pad = np.zeros_like(buf[0])
+            buf.extend([pad] * (batch_size - valid))
+        yield np.stack(buf), valid

@@ -1,0 +1,123 @@
+"""Model assembly: glue conv backbone + linear head into one callable.
+
+Mirrors ``load_and_glue_nets`` / ``load_default_net`` from
+frameID/net.py:193-233, but the glued object is a jit-compiled pure
+function over explicit pytrees instead of an ``nn.Sequential``.
+
+Checkpoint sources supported:
+
+- native ``.npz`` bundles (cut_detection_tpu/checkpoint/io.py)
+- the reference's torch ``.pt`` state dicts (converted on the fly via
+  cut_detection_tpu/checkpoint/convert.py)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from cut_detection_tpu.config import ConvNetConfig, LinearNetConfig, ModelParams
+from cut_detection_tpu.checkpoint.io import load_bundle, save_bundle
+from cut_detection_tpu.models.frame_conv import (
+    apply_frame_conv,
+    apply_frame_linear,
+    num_params,
+)
+
+_PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
+_PROD_NET_DIR = os.path.join(os.path.dirname(_PACKAGE_DIR), "prod_net")
+_REFERENCE_DIR = "/root/reference/frameID/prod_net"
+
+
+class GluedNet:
+    """Conv backbone + FC head with eval-mode apply (frameID/net.py:215).
+
+    ``net(x)`` takes NHWC float32 frames in [0, 1] and returns [B, n_class]
+    logits.  The apply function is jitted once per input shape; BN uses the
+    checkpoint's running statistics (eval mode), matching ``net.eval()`` in
+    segment_video.py:33.
+    """
+
+    def __init__(self, bundle, model_params: ModelParams):
+        self.bundle = jax.tree_util.tree_map(jnp.asarray, bundle)
+        self.model_params = model_params
+        self.conv_cfg = model_params.conv_config()
+        self.linear_cfg = model_params.linear_config()
+        self._jitted = functools.partial(
+            jax.jit(_glued_apply, static_argnames=("conv_cfg", "linear_cfg")),
+            conv_cfg=self.conv_cfg,
+            linear_cfg=self.linear_cfg,
+        )
+
+    def __call__(self, x):
+        return self._jitted(self.bundle, x)
+
+    def apply(self, x):
+        return self(x)
+
+    def num_params(self) -> int:
+        return num_params(self.bundle["conv"]["params"]) + num_params(
+            self.bundle["linear"]["params"]
+        )
+
+    def save(self, path: str) -> None:
+        save_bundle(path, jax.tree_util.tree_map(lambda a: jax.device_get(a),
+                                                 self.bundle))
+
+
+def _glued_apply(bundle, x, *, conv_cfg: ConvNetConfig,
+                 linear_cfg: LinearNetConfig):
+    feats, _ = apply_frame_conv(bundle["conv"]["params"],
+                                bundle["conv"]["state"], x, conv_cfg,
+                                train=False)
+    logits, _ = apply_frame_linear(bundle["linear"]["params"],
+                                   bundle["linear"]["state"], feats,
+                                   linear_cfg, train=False)
+    return logits
+
+
+def load_and_glue_nets(param_file: str, conv_file: str, linear_file: str):
+    """Load a checkpoint triplet and return ``(net, model_params_dict)``.
+
+    Drop-in analog of frameID/net.py:193-217: the return is a callable net
+    plus the params dict.  ``.pt`` files are converted from torch format;
+    ``.npz`` files load natively.
+    """
+    if conv_file.endswith(".pt") or linear_file.endswith(".pt"):
+        from cut_detection_tpu.checkpoint.convert import convert_torch_checkpoint
+
+        bundle, model_params = convert_torch_checkpoint(
+            param_file, conv_file, linear_file
+        )
+    else:
+        model_params = ModelParams.from_json(param_file)
+        conv = load_bundle(conv_file)
+        lin = load_bundle(linear_file)
+        bundle = {"conv": conv, "linear": lin}
+    net = GluedNet(bundle, model_params)
+    return net, model_params.to_dict()
+
+
+def load_default_net():
+    """Load the bundled prod classifier (frameID/net.py:221-233 analog).
+
+    Prefers the converted native bundle shipped in
+    ``cut_detection_tpu/prod_net``; falls back to converting the reference's
+    torch checkpoint in place if only that is available.
+    """
+    params_file = os.path.join(_PROD_NET_DIR, "init_model_model_params.json")
+    native = os.path.join(_PROD_NET_DIR, "init_model.npz")
+    if os.path.isfile(native):
+        model_params = ModelParams.from_json(params_file)
+        bundle = load_bundle(native)
+        net = GluedNet(bundle, model_params)
+        return net, model_params.to_dict()
+    # Fallback: convert the reference checkpoint directly.
+    return load_and_glue_nets(
+        os.path.join(_REFERENCE_DIR, "init_model_model_params.json"),
+        os.path.join(_REFERENCE_DIR, "init_model_classifier_conv.pt"),
+        os.path.join(_REFERENCE_DIR, "init_model_classifier_linear.pt"),
+    )

@@ -1,0 +1,82 @@
+"""FrameConvNet / FrameLinearNet equivalents as pure functions.
+
+Reference: frameID/net.py:71-189.
+
+- ``FrameConvNet``: N conv blocks (first in_ch->hidden, rest hidden->hidden,
+  all conv3x3 pad 1 + maxpool3 + BN), then AdaptiveAvgPool2d(avg_pool_size)
+  and a flatten (net.py:90-133).
+- ``FrameLinearNet``: n_layers FC blocks; hidden layers ReLU+BN, final layer
+  identity activation without BN (net.py:160-186).
+
+All activations are NHWC.  The flatten reproduces torch's NCHW channel-major
+feature order so converted linear weights line up
+(see ops.nn.flatten_nchw_order).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cut_detection_tpu.config import ConvNetConfig, LinearNetConfig
+from cut_detection_tpu.models.layers import (
+    apply_conv_block,
+    apply_fc_block,
+    init_conv_block,
+    init_fc_block,
+)
+from cut_detection_tpu.ops.nn import adaptive_avg_pool, flatten_nchw_order
+
+
+def init_frame_conv(key, cfg: ConvNetConfig, dtype=jnp.float32):
+    """Init (params, state) pytrees: a list per conv block."""
+    keys = jax.random.split(key, cfg.n_conv_layers)
+    params, state = [], []
+    in_ch = cfg.input_channels
+    for i in range(cfg.n_conv_layers):
+        p, s = init_conv_block(keys[i], in_ch, cfg.hidden_channels, dtype=dtype)
+        params.append(p)
+        state.append(s)
+        in_ch = cfg.hidden_channels
+    return params, state
+
+
+def apply_frame_conv(params, state, x, cfg: ConvNetConfig, *, train: bool = False):
+    """x: [B, H, W, C] -> features [B, hidden * pool^2]; returns (y, state)."""
+    new_state = []
+    for p, s in zip(params, state):
+        x, s = apply_conv_block(p, s, x, train=train)
+        new_state.append(s)
+    x = adaptive_avg_pool(x, cfg.average_pool_size)
+    x = flatten_nchw_order(x)
+    return x, new_state
+
+
+def init_frame_linear(key, cfg: LinearNetConfig, dtype=jnp.float32):
+    sizes = cfg.layer_sizes()
+    keys = jax.random.split(key, len(sizes))
+    params, state = [], []
+    for i, (in_f, out_f) in enumerate(sizes):
+        final = i == len(sizes) - 1
+        p, s = init_fc_block(keys[i], in_f, out_f, batch_norm=not final,
+                             dtype=dtype)
+        params.append(p)
+        state.append(s)
+    return params, state
+
+
+def apply_frame_linear(params, state, x, cfg: LinearNetConfig, *,
+                       train: bool = False):
+    """x: [B, input_size] -> [B, output_size]; returns (y, state)."""
+    new_state = []
+    n = len(params)
+    for i, (p, s) in enumerate(zip(params, state)):
+        final = i == n - 1
+        x, s = apply_fc_block(p, s, x, relu=not final, train=train)
+        new_state.append(s)
+    return x, new_state
+
+
+def num_params(params) -> int:
+    """Trainable parameter count (net.py:135-136, 188-189)."""
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

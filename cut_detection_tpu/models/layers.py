@@ -1,0 +1,123 @@
+"""Building-block layers: conv block and FC block.
+
+Reference semantics (frameID/net.py):
+
+- ``CNNLayer``: conv3x3(pad 1) -> activation -> maxpool(k=3, stride 3) ->
+  BatchNorm2d.  Note the *nonstandard order*: BN comes after pooling and
+  after the activation (net.py:33-40).
+- ``FCLayer``: linear -> activation -> BatchNorm1d (net.py:62-68).
+
+Both blocks here are (init, apply) pairs over explicit pytrees.  Trainable
+parameters and BN running statistics are kept in separate trees ("params"
+vs "state") so training steps stay functional: ``apply(..., train=True)``
+returns the updated state alongside the activations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from cut_detection_tpu.ops.nn import (
+    batch_norm_infer,
+    batch_norm_train,
+    conv2d_same,
+    linear,
+    max_pool,
+)
+
+
+def _kaiming_uniform_bound(fan_in: int) -> float:
+    """torch's default Conv2d/Linear weight init: kaiming_uniform(a=sqrt(5)),
+    which works out to U(-sqrt(1/fan_in)*sqrt(3)... ) == U(+-1/sqrt(fan_in))
+    scaled by sqrt(6/(1+5)) = 1; concretely bound = sqrt(6 / ((1+5)*fan_in))
+    * ... — the closed form torch uses is ``1/sqrt(fan_in)`` for bias and
+    ``sqrt(6/((1 + a^2) * fan_in)) = sqrt(1/fan_in)`` for weights with
+    a=sqrt(5).  Both reduce to 1/sqrt(fan_in) up to a sqrt(3) factor on the
+    weights; we reproduce torch's exact bounds below.
+    """
+    return math.sqrt(1.0 / fan_in)
+
+
+def init_conv_block(key, in_ch: int, out_ch: int, *, kernel: int = 3,
+                    batch_norm: bool = True, dtype=jnp.float32):
+    """Init a CNNLayer-equivalent block.  Weight layout HWIO."""
+    k_w, k_b = jax.random.split(key)
+    fan_in = in_ch * kernel * kernel
+    w_bound = math.sqrt(6.0 / ((1.0 + 5.0) * fan_in))  # kaiming_uniform a=sqrt(5)
+    b_bound = _kaiming_uniform_bound(fan_in)
+    params = {
+        "kernel": jax.random.uniform(
+            k_w, (kernel, kernel, in_ch, out_ch), dtype, -w_bound, w_bound
+        ),
+        "bias": jax.random.uniform(k_b, (out_ch,), dtype, -b_bound, b_bound),
+    }
+    state = {}
+    if batch_norm:
+        params["gamma"] = jnp.ones((out_ch,), dtype)
+        params["beta"] = jnp.zeros((out_ch,), dtype)
+        state = {"mean": jnp.zeros((out_ch,), dtype),
+                 "var": jnp.ones((out_ch,), dtype)}
+    return params, state
+
+
+def apply_conv_block(params, state, x, *, train: bool = False,
+                     pool_window: int = 3):
+    """conv -> ReLU -> maxpool -> BN, exactly net.py:33-40's order."""
+    x = conv2d_same(x, params["kernel"], params["bias"])
+    x = jax.nn.relu(x)
+    x = max_pool(x, pool_window)
+    if "gamma" in params:
+        if train:
+            x, new_mean, new_var = batch_norm_train(
+                x, state["mean"], state["var"], params["gamma"], params["beta"]
+            )
+            state = {"mean": new_mean, "var": new_var}
+        else:
+            x = batch_norm_infer(
+                x, state["mean"], state["var"], params["gamma"], params["beta"]
+            )
+    return x, state
+
+
+def init_fc_block(key, in_f: int, out_f: int, *, batch_norm: bool = True,
+                  dtype=jnp.float32):
+    """Init an FCLayer-equivalent block.  Weight layout [in, out]."""
+    k_w, k_b = jax.random.split(key)
+    w_bound = math.sqrt(6.0 / ((1.0 + 5.0) * in_f))
+    b_bound = _kaiming_uniform_bound(in_f)
+    params = {
+        "kernel": jax.random.uniform(k_w, (in_f, out_f), dtype, -w_bound, w_bound),
+        "bias": jax.random.uniform(k_b, (out_f,), dtype, -b_bound, b_bound),
+    }
+    state = {}
+    if batch_norm:
+        params["gamma"] = jnp.ones((out_f,), dtype)
+        params["beta"] = jnp.zeros((out_f,), dtype)
+        state = {"mean": jnp.zeros((out_f,), dtype),
+                 "var": jnp.ones((out_f,), dtype)}
+    return params, state
+
+
+def apply_fc_block(params, state, x, *, relu: bool, train: bool = False):
+    """linear -> activation -> BN (net.py:62-68).
+
+    ``relu=False`` gives the identity activation used by the final layer of
+    FrameLinearNet (net.py:166).
+    """
+    x = linear(x, params["kernel"], params["bias"])
+    if relu:
+        x = jax.nn.relu(x)
+    if "gamma" in params:
+        if train:
+            x, new_mean, new_var = batch_norm_train(
+                x, state["mean"], state["var"], params["gamma"], params["beta"]
+            )
+            state = {"mean": new_mean, "var": new_var}
+        else:
+            x = batch_norm_infer(
+                x, state["mean"], state["var"], params["gamma"], params["beta"]
+            )
+    return x, state

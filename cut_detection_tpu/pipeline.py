@@ -1,0 +1,224 @@
+"""End-to-end inference pipeline: decode -> classify -> segment -> CSV.
+
+This is the production path behind the ``segment_video`` CLI, mirroring
+segment_video.py:20-77 of the reference:
+
+    decode (host threads) -> uint8 NHWC batches -> [device] normalize +
+    CNN + per-frame max/argmax -> (confidence, class) per frame ->
+    run-length table -> orphan gluing -> adjacent merge -> CSV.
+
+TPU-first properties:
+
+- uint8 crosses host->device (4x less PCIe than the reference's float32);
+  the flip+scale fuses into the first conv under XLA.
+- Batches are padded to a static shape: exactly one compilation, no ragged
+  tail recompile (batch validity is handled by slicing the outputs).
+- Device dispatch is async: the host keeps decoding while the TPU runs; we
+  only block when collecting the final per-frame vectors.
+- The per-frame reduction (max/argmax) happens on device, so only two [N]
+  vectors come back — not [N, 3] logits.
+- Optional score cache makes multi-hour runs resumable (the reference loses
+  all work if the process dies mid-video; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cut_detection_tpu.data.video import (
+    ParallelVideoReader,
+    VideoFrameSource,
+    batch_frames,
+)
+from cut_detection_tpu.models.assembly import GluedNet, load_default_net
+from cut_detection_tpu.ops.preprocess import normalize_frames
+from cut_detection_tpu.ops.resize import resize_bilinear
+from cut_detection_tpu.segmentation.rle import Segmentation
+from cut_detection_tpu.utils.profiling import ThroughputMeter
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    frames: int = 0
+    batches: int = 0
+    decode_failures: int = 0
+    frames_per_sec: float = 0.0
+    steady_frames_per_sec: float = 0.0
+
+
+def make_classify_step(net: GluedNet, *, device_resize: tuple[int, int] | None = None):
+    """Build the jitted device step: uint8 NHWC BGR -> (conf, pred).
+
+    ``device_resize=(out_h, out_w)`` moves the bilinear resize on device
+    (bit-exact cv2 emulation, ops/resize.py); otherwise frames must already
+    be at model resolution.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(bundle, frames_u8):
+        x = frames_u8
+        if device_resize is not None:
+            x = resize_bilinear(x, device_resize[0], device_resize[1], exact=True)
+        x = normalize_frames(x)
+        logits = net_apply(bundle, x)
+        conf = jnp.max(logits, axis=1)
+        pred = jnp.argmax(logits, axis=1).astype(jnp.int32)
+        return conf, pred
+
+    # Bind the net's pure apply (configs are static in the closure).
+    from cut_detection_tpu.models.assembly import _glued_apply
+
+    def net_apply(bundle, x):
+        return _glued_apply(bundle, x,
+                            conv_cfg=net.conv_cfg, linear_cfg=net.linear_cfg)
+
+    return step
+
+
+def classify_video(
+    input_path: str,
+    net: GluedNet | None = None,
+    *,
+    batch_size: int = 128,
+    resize: int = 256,
+    frame_limit: int | None = None,
+    print_every: int = 50,
+    decode_workers: int = 1,
+    decode_chunk_frames: int = 256,
+    device_resize: bool = False,
+    cache_path: str | None = None,
+) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
+    """Run decode + classification; return per-frame (conf, pred, stats).
+
+    Defaults mirror segment_video.py: resize width 256 (:28), batch 128
+    (:103-105), log every 50 batches (:47-51,:106-111), and the
+    ``--frame-limit`` early break *after* the batch that crosses the limit
+    (:53-58).
+    """
+    if cache_path and os.path.isfile(cache_path):
+        with np.load(cache_path) as data:
+            logger.info("Loaded cached scores from %s", cache_path)
+            return data["conf"], data["pred"], PipelineStats(
+                frames=int(data["conf"].shape[0])
+            )
+
+    if net is None:
+        net, _ = load_default_net()
+        logger.info("Loaded default classifier.")
+
+    if decode_workers > 1:
+        source = ParallelVideoReader(
+            input_path,
+            resize=None if device_resize else resize,
+            num_threads=decode_workers,
+            chunk_frames=decode_chunk_frames,
+        )
+    else:
+        source = VideoFrameSource(
+            input_path, resize=None if device_resize else resize
+        )
+
+    dr = None
+    if device_resize:
+        from cut_detection_tpu.ops.resize import reference_resize_dims
+
+        w = source.video_info["width"]
+        h = source.video_info["height"]
+        new_w, new_h = reference_resize_dims(w, h, resize)
+        dr = (new_h, new_w)
+
+    step = make_classify_step(net, device_resize=dr)
+
+    meter = ThroughputMeter(warmup_items=batch_size)
+    meter.start()
+    confs, preds, valids = [], [], []
+    stats = PipelineStats()
+    for i, (batch, valid) in enumerate(batch_frames(source, batch_size)):
+        conf, pred = step(net.bundle, batch)  # async dispatch
+        confs.append(conf)
+        preds.append(pred)
+        valids.append(valid)
+        meter.update(valid)
+        stats.batches += 1
+        stats.frames += valid
+        if print_every > 0 and i % print_every == print_every - 1:
+            logger.info("Scored batch %d (%d frames).", i + 1,
+                        (i + 1) * batch_size)
+        # Reference early-break semantics (segment_video.py:53-58).
+        if frame_limit is not None and (i + 1) * batch_size > frame_limit:
+            break
+
+    # Single blocking collect at the end.
+    conf_np = np.concatenate(
+        [np.asarray(jax.device_get(c))[:v] for c, v in zip(confs, valids)]
+    ) if confs else np.zeros((0,), np.float32)
+    pred_np = np.concatenate(
+        [np.asarray(jax.device_get(p))[:v] for p, v in zip(preds, valids)]
+    ) if preds else np.zeros((0,), np.int32)
+
+    stats.decode_failures = getattr(source, "frames_failed", 0)
+    stats.frames_per_sec = meter.rate
+    stats.steady_frames_per_sec = meter.steady_rate
+    logger.info("Classified %d frames at %.1f fps (steady %.1f fps).",
+                stats.frames, stats.frames_per_sec, stats.steady_frames_per_sec)
+
+    if cache_path:
+        np.savez(cache_path, conf=conf_np, pred=pred_np)
+        logger.info("Cached scores to %s", cache_path)
+    return conf_np, pred_np, stats
+
+
+def segment_video_file(
+    input_path: str,
+    output_path: str | None = None,
+    *,
+    base_threshold: int = 100,
+    blank_threshold: int = 10,
+    batch_size: int = 128,
+    resize: int = 256,
+    frame_limit: int | None = None,
+    print_every: int = 50,
+    decode_workers: int = 1,
+    device_resize: bool = False,
+    cache_path: str | None = None,
+    net: GluedNet | None = None,
+) -> tuple[str, Segmentation, PipelineStats]:
+    """Full pipeline to CSV; returns (csv_path, segmentation, stats).
+
+    Mirrors segment_video.py:20-77 including log messages, default output
+    naming (input stem + ``_segments.csv``, :71-74) and glue defaults
+    (:91-102).
+    """
+    if not os.path.isfile(input_path):
+        raise ValueError(f"{input_path} does not exist.")
+
+    conf, pred, stats = classify_video(
+        input_path, net,
+        batch_size=batch_size, resize=resize, frame_limit=frame_limit,
+        print_every=print_every, decode_workers=decode_workers,
+        device_resize=device_resize, cache_path=cache_path,
+    )
+
+    seg = Segmentation.from_frame_scores(conf, pred)
+    logger.info("Found %d initial segments", len(seg))
+    seg.glue_orphans(base_threshold, blank_threshold)
+    logger.info("Revised to %d segments through orphan combination.", len(seg))
+    seg.combine_adjacent_segments()
+    logger.info(
+        "Revised to %d segments through matching adjacent combination.", len(seg)
+    )
+
+    if output_path is None:
+        output_path = os.path.splitext(input_path)[0] + "_segments.csv"
+    logger.info("Writing %d segments to %s", len(seg), output_path)
+    seg.write_csv(output_path)
+    return output_path, seg, stats

@@ -1,0 +1,8 @@
+"""Training: losses, on-device augmentation, supervised + contrastive loops."""
+
+from cut_detection_tpu.train.losses import (
+    cross_entropy_sum,
+    ntxent_loss,
+)
+
+__all__ = ["cross_entropy_sum", "ntxent_loss"]

@@ -1,0 +1,57 @@
+"""Training losses.
+
+- ``cross_entropy_sum``: torch ``CrossEntropyLoss(reduction="sum")``
+  (supervised_training.py:131) — softmax cross entropy summed over the
+  batch.
+- ``ntxent_loss``: the SimCLR NT-Xent contrastive loss, matching the
+  reference's port (frameID/metrics.py:8-47) which itself follows
+  google-research/simclr.  Batch of 2B projections = two augmented views
+  concatenated; intra-view logits get their diagonal masked with a large
+  negative; each view's positives are the aligned rows of the other view.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG_NUMBER = 1e9  # frameID/metrics.py:5
+
+
+def cross_entropy_sum(logits, labels) -> jax.Array:
+    """Sum-reduced softmax cross entropy (CrossEntropyLoss(reduction='sum'))."""
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, labels[:, None], axis=-1)[:, 0]
+    return jnp.sum(nll)
+
+
+def ntxent_loss(x, *, temperature: float = 1.0, h_norm: bool = True):
+    """NT-Xent over concatenated views ``x = [h1; h2]`` of shape [2B, D].
+
+    Returns ``(loss, logits_ab, labels)`` like the reference module's
+    forward (frameID/metrics.py:23-47).  The loss is
+    ``mean(loss_a + loss_b)`` where each side is a cross entropy between a
+    view's similarities to [other view ‖ own view (diag-masked)] and the
+    aligned-index labels.
+    """
+    if h_norm:
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    b = x.shape[0] // 2
+    h1, h2 = x[:b], x[b:]
+    masks = jnp.eye(b, dtype=x.dtype)
+    labels = jnp.arange(b)
+
+    logits_aa = h1 @ h1.T / temperature - masks * BIG_NUMBER
+    logits_bb = h2 @ h2.T / temperature - masks * BIG_NUMBER
+    logits_ab = h1 @ h2.T / temperature
+    logits_ba = logits_ab.T
+
+    def ce_mean(logits, labels):
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(
+            jnp.take_along_axis(logprobs, labels[:, None], axis=-1)[:, 0]
+        )
+
+    loss_a = ce_mean(jnp.concatenate([logits_ab, logits_aa], axis=-1), labels)
+    loss_b = ce_mean(jnp.concatenate([logits_ba, logits_bb], axis=-1), labels)
+    return loss_a + loss_b, logits_ab, labels

@@ -1,0 +1,25 @@
+"""Package setup (reference: setup.py — distutils package ``frameID``).
+
+``pip install -e .`` exposes ``cut_detection_tpu`` plus the
+``segment-video`` / ``split-video`` console entry points.
+"""
+
+from setuptools import find_packages, setup
+
+setup(
+    name="cut_detection_tpu",
+    version="0.1.0",
+    description=(
+        "TPU-native NFL broadcast cut detection: JAX/XLA/Pallas frame "
+        "classifier + run-length segmenter"
+    ),
+    packages=find_packages(include=["cut_detection_tpu", "cut_detection_tpu.*"]),
+    package_data={"cut_detection_tpu": ["prod_net/*.npz", "prod_net/*.json"]},
+    python_requires=">=3.10",
+    entry_points={
+        "console_scripts": [
+            "segment-video=cut_detection_tpu.cli.segment_video:main",
+            "split-video=cut_detection_tpu.cli.split_video:main",
+        ]
+    },
+)

@@ -1,0 +1,108 @@
+"""End-to-end pipeline golden tests: MP4 in, segments CSV out.
+
+Runs the reference's segment_video main() (imported from /root/reference,
+torch CPU) and our pipeline on the same synthetic video and asserts the CSVs
+are byte-identical — the north-star correctness bar (BASELINE.md).
+"""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import import_reference, reference_available
+
+from cut_detection_tpu.pipeline import classify_video, segment_video_file
+
+
+def _run_reference(synthetic_video, out_path, frame_limit=None):
+    ref_main = import_reference("segment_video")
+    args = argparse.Namespace(
+        input_path=synthetic_video,
+        output_path=out_path,
+        base_threshold=100,
+        blank_threshold=10,
+        batch_size=64,
+        print_every=0,
+        frame_limit=frame_limit,
+        cpu=True,
+    )
+    ref_main.main(args)
+
+
+@reference_available
+def test_csv_byte_parity(synthetic_video, tmp_path):
+    ref_csv = str(tmp_path / "ref.csv")
+    our_csv = str(tmp_path / "ours.csv")
+    _run_reference(synthetic_video, ref_csv)
+    segment_video_file(synthetic_video, our_csv, batch_size=64)
+    with open(ref_csv, "rb") as f:
+        ref_bytes = f.read()
+    with open(our_csv, "rb") as f:
+        our_bytes = f.read()
+    assert ref_bytes == our_bytes
+    assert b"\r\n" in ref_bytes  # formatting really is the reference's
+
+
+@reference_available
+def test_csv_byte_parity_device_resize(synthetic_video, tmp_path):
+    """Same, but resizing on 'device' (the cv2-exact XLA path)."""
+    ref_csv = str(tmp_path / "ref.csv")
+    our_csv = str(tmp_path / "ours.csv")
+    _run_reference(synthetic_video, ref_csv)
+    segment_video_file(synthetic_video, our_csv, batch_size=64,
+                       device_resize=True)
+    assert open(ref_csv, "rb").read() == open(our_csv, "rb").read()
+
+
+@reference_available
+def test_frame_limit_semantics(synthetic_video, tmp_path):
+    """--frame-limit breaks after the batch that crosses the limit
+    (segment_video.py:53-58)."""
+    conf, pred, _ = classify_video(synthetic_video, batch_size=32,
+                                   frame_limit=100, print_every=0)
+    # Batches of 32: break once (i+1)*32 > 100 -> after batch i=3 -> 128.
+    assert conf.shape[0] == 128
+
+    ref_csv = str(tmp_path / "ref.csv")
+    our_csv = str(tmp_path / "ours.csv")
+    _run_reference(synthetic_video, ref_csv, frame_limit=100)
+    segment_video_file(synthetic_video, our_csv, batch_size=64,
+                       frame_limit=100)
+    # Reference with bs=64: break once (i+1)*64 > 100 -> 128 frames too.
+    assert open(ref_csv, "rb").read() == open(our_csv, "rb").read()
+
+
+def test_parallel_decode_matches_sequential(synthetic_video):
+    from cut_detection_tpu.data.video import (
+        ParallelVideoReader,
+        VideoFrameSource,
+    )
+
+    seq = list(VideoFrameSource(synthetic_video, resize=256))
+    par = list(ParallelVideoReader(synthetic_video, resize=256,
+                                   num_threads=4, chunk_frames=37))
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_score_cache_roundtrip(synthetic_video, tmp_path):
+    cache = str(tmp_path / "scores.npz")
+    conf1, pred1, _ = classify_video(synthetic_video, batch_size=64,
+                                     cache_path=cache, print_every=0)
+    assert os.path.isfile(cache)
+    conf2, pred2, stats = classify_video(synthetic_video, batch_size=64,
+                                         cache_path=cache, print_every=0)
+    np.testing.assert_array_equal(conf1, conf2)
+    np.testing.assert_array_equal(pred1, pred2)
+    assert stats.batches == 0  # served from cache
+
+
+def test_default_output_naming(synthetic_video):
+    out, seg, _ = segment_video_file(synthetic_video, batch_size=64,
+                                     frame_limit=64)
+    assert out == os.path.splitext(synthetic_video)[0] + "_segments.csv"
+    assert os.path.isfile(out)
+    assert len(seg) >= 1

@@ -1,0 +1,167 @@
+"""Segmentation golden tests against the reference implementation.
+
+The reference's ``Segmentation`` (frameID/segmentation.py) is imported from
+/root/reference and used as the oracle on randomized score tensors; we
+assert table equality after construction, orphan gluing, and adjacent
+merging, plus byte-exact CSV output.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import import_reference, reference_available
+
+from cut_detection_tpu.segmentation.glue import find_orphans
+from cut_detection_tpu.segmentation.rle import (
+    INVERSE_LAB_ENUM,
+    LAB_ENUM,
+    Segmentation,
+    device_frame_scores,
+    device_segment_reduce,
+)
+
+
+def _random_scores(rng, n, segment_scale=40):
+    """Piecewise-ish random logits: random class runs + noise, so the RLE
+    table has realistic segment structure (short blanks, orphans, etc.)."""
+    labels = []
+    while sum(len(s) for s in labels) < n:
+        cls = rng.integers(0, 3)
+        length = int(rng.integers(1, segment_scale))
+        labels.append(np.full(length, cls))
+    lab = np.concatenate(labels)[:n]
+    scores = rng.normal(0, 1, size=(n, 3)).astype(np.float32)
+    scores[np.arange(n), lab] += rng.uniform(1.0, 6.0, size=n).astype(np.float32)
+    return scores
+
+
+def _ref_segmentation(torch, scores):
+    seg_mod = import_reference("frameID.segmentation")
+    return seg_mod.Segmentation(torch.from_numpy(scores))
+
+
+def _assert_tables_equal(ours, ref):
+    for key in ["end_frames", "frame_types", "run_lengths", "start_frames"]:
+        np.testing.assert_array_equal(
+            ours.te[key], ref.te[key].numpy(), err_msg=key
+        )
+    # rtol covers the bug_compat means, which explode to ~1e13 after a few
+    # buggy merges and accumulate float32 ulp differences.
+    np.testing.assert_allclose(
+        ours.te["score_means"], ref.te["score_means"].numpy(),
+        rtol=1e-6, atol=2e-5, err_msg="score_means",
+    )
+
+
+@reference_available
+@pytest.mark.parametrize("seed,n", [(0, 500), (1, 2000), (2, 137), (3, 10000)])
+def test_table_construction_matches_reference(torch, seed, n):
+    rng = np.random.default_rng(seed)
+    scores = _random_scores(rng, n)
+    ours = Segmentation(scores)
+    ref = _ref_segmentation(torch, scores)
+    _assert_tables_equal(ours, ref)
+
+
+@reference_available
+@pytest.mark.parametrize("seed,n,k1,kb", [
+    (0, 3000, 100, 10),
+    (1, 5000, 100, 10),
+    (2, 2000, 50, 5),
+    (3, 8000, 100, 10),
+    (4, 1000, 20, 20),
+])
+def test_full_glue_matches_reference(torch, tmp_path, seed, n, k1, kb):
+    rng = np.random.default_rng(seed)
+    scores = _random_scores(rng, n, segment_scale=120)
+    ours = Segmentation(scores)
+    ref = _ref_segmentation(torch, scores)
+
+    ours.glue_orphans(k1, kb)
+    ref.glue_orphans(k1, kb)
+    _assert_tables_equal(ours, ref)
+
+    ours.combine_adjacent_segments()
+    ref.combine_adjacent_segments()
+    _assert_tables_equal(ours, ref)
+
+    # Byte-exact CSV (incl. \r\n terminators, segmentation.py:193-196).
+    p_ours = tmp_path / "ours.csv"
+    p_ref = tmp_path / "ref.csv"
+    ours.write_csv(str(p_ours))
+    ref.write_csv(str(p_ref))
+    assert p_ours.read_bytes() == p_ref.read_bytes()
+
+
+@reference_available
+def test_single_segment_video(torch):
+    # All frames one class: one segment, glue is a no-op.
+    scores = np.zeros((500, 3), np.float32)
+    scores[:, 1] = 5.0
+    ours = Segmentation(scores)
+    ref = _ref_segmentation(torch, scores)
+    _assert_tables_equal(ours, ref)
+    ours.glue_orphans()
+    ref.glue_orphans()
+    _assert_tables_equal(ours, ref)
+    assert len(ours) == 1
+
+
+def test_find_orphans_bool_semantics():
+    types = np.array([0, 2, 1, 2, 0])
+    lengths = np.array([50, 5, 200, 50, 100])
+    mask = find_orphans(types, lengths, 100, 10)
+    # type!=2 & len<100 -> idx 0; type==2 & len<10 -> idx 1.
+    np.testing.assert_array_equal(mask, [True, True, False, False, False])
+
+
+def test_bug_compat_flag_changes_means():
+    # The mis-parenthesized mean (segmentation.py:79-82) inflates the merged
+    # score mean by the orphan's run length; the corrected path must not.
+    rng = np.random.default_rng(5)
+    scores = _random_scores(rng, 1000, segment_scale=80)
+    a = Segmentation(scores)
+    b = Segmentation(scores)
+    a.glue_orphans(100, 10, bug_compat=True)
+    b.glue_orphans(100, 10, bug_compat=False)
+    # Same structure is not guaranteed, but the corrected means must stay
+    # within the plausible per-frame confidence range while the buggy ones
+    # explode above it whenever a merge happened.
+    if len(a) > 1:
+        assert a.te["score_means"].max() > b.te["score_means"].max()
+
+
+def test_device_frame_scores_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    scores = rng.normal(size=(300, 3)).astype(np.float32)
+    conf, pred = device_frame_scores(jnp.asarray(scores))
+    np.testing.assert_allclose(np.asarray(conf), scores.max(1), atol=0)
+    np.testing.assert_array_equal(np.asarray(pred), scores.argmax(1))
+
+
+def test_device_segment_reduce_matches_table():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    scores = _random_scores(rng, 700)
+    seg = Segmentation(scores)
+    conf = scores.max(1).astype(np.float32)
+    pred = scores.argmax(1).astype(np.int32)
+    nseg, starts, ends, types, lengths, means = device_segment_reduce(
+        jnp.asarray(conf), jnp.asarray(pred), max_segments=1024
+    )
+    k = int(nseg)
+    assert k == len(seg)
+    np.testing.assert_array_equal(np.asarray(starts)[:k], seg.te["start_frames"])
+    np.testing.assert_array_equal(np.asarray(ends)[:k], seg.te["end_frames"])
+    np.testing.assert_array_equal(np.asarray(types)[:k], seg.te["frame_types"])
+    np.testing.assert_array_equal(np.asarray(lengths)[:k], seg.te["run_lengths"])
+    np.testing.assert_allclose(np.asarray(means)[:k], seg.te["score_means"],
+                               atol=1e-5)
+
+
+def test_lab_enum_matches_reference_vocab():
+    assert LAB_ENUM == {"a22": 0, "ez": 1, "b": 2}
+    assert INVERSE_LAB_ENUM[2] == "b"
