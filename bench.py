@@ -1,0 +1,121 @@
+"""Benchmark: frames/sec/chip for the frame-classification hot path.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": R}
+
+- ours: the jit'd device step (uint8 NHWC batch -> normalize -> CNN ->
+  per-frame max/argmax) on whatever accelerator JAX provides (the TPU chip
+  under axon), batch 512, steady-state over ~30 batches after warmup.
+- baseline: the PyTorch reference prod net (frameID/net.py via
+  /root/reference) on CPU, same 256x144 input contract, measured over a few
+  batches.  The reference publishes no numbers (BASELINE.md), so the
+  baseline is measured here, matching its eval path (segment_video.py:38-45).
+
+Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_SECONDS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench_ours(batch: int, steps: int, min_seconds: float) -> float:
+    """Steady-state device throughput via an on-device fori_loop.
+
+    The loop body perturbs the input with the iteration index (uint8 add)
+    so XLA cannot hoist or dedupe iterations, and accumulates a scalar so
+    every iteration is live — this measures true execution rate, immune to
+    async-dispatch artifacts through the remote relay.
+    """
+    from cut_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cut_detection_tpu.models.assembly import _glued_apply, load_default_net
+    from cut_detection_tpu.ops.preprocess import normalize_frames
+
+    net, _ = load_default_net()
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8)
+    frames = jax.device_put(frames)
+
+    @jax.jit
+    def run(bundle, frames_u8, k):
+        def body(i, acc):
+            x = frames_u8 + i.astype(jnp.uint8)  # iteration-dependent input
+            logits = _glued_apply(bundle, normalize_frames(x),
+                                  conv_cfg=net.conv_cfg,
+                                  linear_cfg=net.linear_cfg)
+            return acc + jnp.sum(logits)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    # Warmup / compile.  NOTE: fetch the value — through the axon relay,
+    # block_until_ready alone does not guarantee execution finished.
+    float(run(net.bundle, frames, 1))
+
+    n = 0
+    t0 = time.perf_counter()
+    while True:
+        float(run(net.bundle, frames, steps))
+        n += steps * batch
+        if time.perf_counter() - t0 >= min_seconds:
+            break
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_reference(batch: int, seconds: float) -> float | None:
+    """Torch reference net on CPU (its own fallback device; segment_video.py:25)."""
+    if not os.path.isdir("/root/reference"):
+        return None
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+
+        from frameID.net import load_default_net as torch_load
+
+        tnet, _ = torch_load()
+        tnet.eval()
+        rng = np.random.default_rng(0)
+        x = torch.from_numpy(
+            rng.random((batch, 3, 144, 256), dtype=np.float32)
+        )
+        with torch.no_grad():
+            tnet(x[:8])  # warmup
+            n = 0
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < seconds:
+                tnet(x)
+                n += batch
+        return n / (time.perf_counter() - t0)
+    except Exception:
+        return None
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", 512))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    seconds = float(os.environ.get("BENCH_SECONDS", 10))
+
+    ours = bench_ours(batch, steps, seconds)
+    ref = bench_reference(min(batch, 128), min(seconds, 8.0))
+
+    result = {
+        "metric": "frames/sec/chip, 256x144 uint8 -> classify (prod net)",
+        "value": round(ours, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(ours / ref, 2) if ref else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

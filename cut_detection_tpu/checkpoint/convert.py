@@ -111,33 +111,32 @@ def export_torch_state_dicts(bundle):
     """
     import torch  # lazy
 
+    def t(arr):
+        # copy(): jax buffers are read-only numpy views; torch wants writable.
+        return torch.from_numpy(np.asarray(arr).copy())
+
     conv_sd = {}
     for i, (p, s) in enumerate(zip(bundle["conv"]["params"],
                                    bundle["conv"]["state"])):
         pfx = f"conv_layers.{i}."
-        conv_sd[pfx + "conv.weight"] = torch.from_numpy(
-            np.asarray(p["kernel"]).transpose(3, 2, 0, 1).copy())
-        conv_sd[pfx + "conv.bias"] = torch.from_numpy(np.asarray(p["bias"]))
-        conv_sd[pfx + "bn.weight"] = torch.from_numpy(np.asarray(p["gamma"]))
-        conv_sd[pfx + "bn.bias"] = torch.from_numpy(np.asarray(p["beta"]))
-        conv_sd[pfx + "bn.running_mean"] = torch.from_numpy(
-            np.asarray(s["mean"]))
-        conv_sd[pfx + "bn.running_var"] = torch.from_numpy(np.asarray(s["var"]))
+        conv_sd[pfx + "conv.weight"] = t(
+            np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+        conv_sd[pfx + "conv.bias"] = t(p["bias"])
+        conv_sd[pfx + "bn.weight"] = t(p["gamma"])
+        conv_sd[pfx + "bn.bias"] = t(p["beta"])
+        conv_sd[pfx + "bn.running_mean"] = t(s["mean"])
+        conv_sd[pfx + "bn.running_var"] = t(s["var"])
         conv_sd[pfx + "bn.num_batches_tracked"] = torch.tensor(0)
     linear_sd = {}
     for i, (p, s) in enumerate(zip(bundle["linear"]["params"],
                                    bundle["linear"]["state"])):
         pfx = f"layers.{i}."
-        linear_sd[pfx + "linear.weight"] = torch.from_numpy(
-            np.asarray(p["kernel"]).T.copy())
-        linear_sd[pfx + "linear.bias"] = torch.from_numpy(np.asarray(p["bias"]))
+        linear_sd[pfx + "linear.weight"] = t(np.asarray(p["kernel"]).T)
+        linear_sd[pfx + "linear.bias"] = t(p["bias"])
         if "gamma" in p:
-            linear_sd[pfx + "bn.weight"] = torch.from_numpy(
-                np.asarray(p["gamma"]))
-            linear_sd[pfx + "bn.bias"] = torch.from_numpy(np.asarray(p["beta"]))
-            linear_sd[pfx + "bn.running_mean"] = torch.from_numpy(
-                np.asarray(s["mean"]))
-            linear_sd[pfx + "bn.running_var"] = torch.from_numpy(
-                np.asarray(s["var"]))
+            linear_sd[pfx + "bn.weight"] = t(p["gamma"])
+            linear_sd[pfx + "bn.bias"] = t(p["beta"])
+            linear_sd[pfx + "bn.running_mean"] = t(s["mean"])
+            linear_sd[pfx + "bn.running_var"] = t(s["var"])
             linear_sd[pfx + "bn.num_batches_tracked"] = torch.tensor(0)
     return conv_sd, linear_sd

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "from it if present.")
     p.add_argument("--profile", type=str, default=None,
                    help="Directory for a jax.profiler trace of the run.")
+    p.add_argument("--precision", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="MXU operand precision. float32 guarantees "
+                        "reference-parity CSVs; bfloat16 is the fast path.")
     return p
 
 
@@ -90,6 +94,7 @@ def main(args=None) -> str:
             decode_workers=ns.decode_workers,
             device_resize=ns.device_resize,
             cache_path=ns.cache_scores,
+            precision=ns.precision,
         )
     return out_path
 

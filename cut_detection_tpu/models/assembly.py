@@ -41,16 +41,26 @@ class GluedNet:
     segment_video.py:33.
     """
 
-    def __init__(self, bundle, model_params: ModelParams):
+    def __init__(self, bundle, model_params: ModelParams,
+                 precision: str = "float32"):
         self.bundle = jax.tree_util.tree_map(jnp.asarray, bundle)
         self.model_params = model_params
+        self.precision = precision
         self.conv_cfg = model_params.conv_config()
         self.linear_cfg = model_params.linear_config()
         self._jitted = functools.partial(
-            jax.jit(_glued_apply, static_argnames=("conv_cfg", "linear_cfg")),
+            jax.jit(_glued_apply,
+                    static_argnames=("conv_cfg", "linear_cfg",
+                                     "compute_dtype")),
             conv_cfg=self.conv_cfg,
             linear_cfg=self.linear_cfg,
+            compute_dtype=self.compute_dtype,
         )
+
+    @property
+    def compute_dtype(self):
+        """MXU operand dtype: None (full f32) or 'bfloat16' (fast path)."""
+        return None if self.precision == "float32" else self.precision
 
     def __call__(self, x):
         return self._jitted(self.bundle, x)
@@ -69,22 +79,25 @@ class GluedNet:
 
 
 def _glued_apply(bundle, x, *, conv_cfg: ConvNetConfig,
-                 linear_cfg: LinearNetConfig):
+                 linear_cfg: LinearNetConfig, compute_dtype=None):
     feats, _ = apply_frame_conv(bundle["conv"]["params"],
                                 bundle["conv"]["state"], x, conv_cfg,
-                                train=False)
+                                train=False, compute_dtype=compute_dtype)
     logits, _ = apply_frame_linear(bundle["linear"]["params"],
                                    bundle["linear"]["state"], feats,
-                                   linear_cfg, train=False)
+                                   linear_cfg, train=False,
+                                   compute_dtype=compute_dtype)
     return logits
 
 
-def load_and_glue_nets(param_file: str, conv_file: str, linear_file: str):
+def load_and_glue_nets(param_file: str, conv_file: str, linear_file: str,
+                       precision: str = "float32"):
     """Load a checkpoint triplet and return ``(net, model_params_dict)``.
 
     Drop-in analog of frameID/net.py:193-217: the return is a callable net
     plus the params dict.  ``.pt`` files are converted from torch format;
-    ``.npz`` files load natively.
+    ``.npz`` files load natively.  ``precision="bfloat16"`` runs the
+    conv/matmul operands in bf16 on the MXU (float32 accumulation).
     """
     if conv_file.endswith(".pt") or linear_file.endswith(".pt"):
         from cut_detection_tpu.checkpoint.convert import convert_torch_checkpoint
@@ -97,11 +110,11 @@ def load_and_glue_nets(param_file: str, conv_file: str, linear_file: str):
         conv = load_bundle(conv_file)
         lin = load_bundle(linear_file)
         bundle = {"conv": conv, "linear": lin}
-    net = GluedNet(bundle, model_params)
+    net = GluedNet(bundle, model_params, precision=precision)
     return net, model_params.to_dict()
 
 
-def load_default_net():
+def load_default_net(precision: str = "float32"):
     """Load the bundled prod classifier (frameID/net.py:221-233 analog).
 
     Prefers the converted native bundle shipped in
@@ -113,11 +126,12 @@ def load_default_net():
     if os.path.isfile(native):
         model_params = ModelParams.from_json(params_file)
         bundle = load_bundle(native)
-        net = GluedNet(bundle, model_params)
+        net = GluedNet(bundle, model_params, precision=precision)
         return net, model_params.to_dict()
     # Fallback: convert the reference checkpoint directly.
     return load_and_glue_nets(
         os.path.join(_REFERENCE_DIR, "init_model_model_params.json"),
         os.path.join(_REFERENCE_DIR, "init_model_classifier_conv.pt"),
         os.path.join(_REFERENCE_DIR, "init_model_classifier_linear.pt"),
+        precision=precision,
     )

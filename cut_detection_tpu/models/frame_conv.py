@@ -41,11 +41,17 @@ def init_frame_conv(key, cfg: ConvNetConfig, dtype=jnp.float32):
     return params, state
 
 
-def apply_frame_conv(params, state, x, cfg: ConvNetConfig, *, train: bool = False):
-    """x: [B, H, W, C] -> features [B, hidden * pool^2]; returns (y, state)."""
+def apply_frame_conv(params, state, x, cfg: ConvNetConfig, *,
+                     train: bool = False, compute_dtype=None):
+    """x: [B, H, W, C] -> features [B, hidden * pool^2]; returns (y, state).
+
+    ``compute_dtype="bfloat16"`` runs the convolutions on the MXU in bf16
+    with float32 accumulation (activations/BN stay float32).
+    """
     new_state = []
     for p, s in zip(params, state):
-        x, s = apply_conv_block(p, s, x, train=train)
+        x, s = apply_conv_block(p, s, x, train=train,
+                                compute_dtype=compute_dtype)
         new_state.append(s)
     x = adaptive_avg_pool(x, cfg.average_pool_size)
     x = flatten_nchw_order(x)
@@ -66,13 +72,14 @@ def init_frame_linear(key, cfg: LinearNetConfig, dtype=jnp.float32):
 
 
 def apply_frame_linear(params, state, x, cfg: LinearNetConfig, *,
-                       train: bool = False):
+                       train: bool = False, compute_dtype=None):
     """x: [B, input_size] -> [B, output_size]; returns (y, state)."""
     new_state = []
     n = len(params)
     for i, (p, s) in enumerate(zip(params, state)):
         final = i == n - 1
-        x, s = apply_fc_block(p, s, x, relu=not final, train=train)
+        x, s = apply_fc_block(p, s, x, relu=not final, train=train,
+                              compute_dtype=compute_dtype)
         new_state.append(s)
     return x, new_state
 

@@ -64,9 +64,10 @@ def init_conv_block(key, in_ch: int, out_ch: int, *, kernel: int = 3,
 
 
 def apply_conv_block(params, state, x, *, train: bool = False,
-                     pool_window: int = 3):
+                     pool_window: int = 3, compute_dtype=None):
     """conv -> ReLU -> maxpool -> BN, exactly net.py:33-40's order."""
-    x = conv2d_same(x, params["kernel"], params["bias"])
+    x = conv2d_same(x, params["kernel"], params["bias"],
+                    compute_dtype=compute_dtype)
     x = jax.nn.relu(x)
     x = max_pool(x, pool_window)
     if "gamma" in params:
@@ -101,13 +102,15 @@ def init_fc_block(key, in_f: int, out_f: int, *, batch_norm: bool = True,
     return params, state
 
 
-def apply_fc_block(params, state, x, *, relu: bool, train: bool = False):
+def apply_fc_block(params, state, x, *, relu: bool, train: bool = False,
+                   compute_dtype=None):
     """linear -> activation -> BN (net.py:62-68).
 
     ``relu=False`` gives the identity activation used by the final layer of
     FrameLinearNet (net.py:166).
     """
-    x = linear(x, params["kernel"], params["bias"])
+    x = linear(x, params["kernel"], params["bias"],
+               compute_dtype=compute_dtype)
     if relu:
         x = jax.nn.relu(x)
     if "gamma" in params:

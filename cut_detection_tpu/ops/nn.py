@@ -31,12 +31,26 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
 
 
-def conv2d_same(x, kernel, bias=None, *, precision=None):
+def conv2d_same(x, kernel, bias=None, *, precision=None, compute_dtype=None):
     """3x3 'same' convolution, NHWC x HWIO -> NHWC.
 
     Matches ``nn.Conv2d(in, out, kernel_size=3, padding=1)`` from
     frameID/net.py:24 (stride 1, zero padding 1 on both spatial dims).
+
+    ``compute_dtype="bfloat16"`` casts the MXU operands to bf16 while
+    accumulating in float32 (``preferred_element_type``) — the TPU fast
+    path; everything around the conv stays float32.  With
+    ``compute_dtype=None`` the conv runs at ``Precision.HIGHEST``: on TPU
+    the DEFAULT precision already truncates f32 operands to bf16 on the
+    MXU, so "float32 mode" must request the multi-pass f32 algorithm
+    explicitly to honor the <1e-4 reference-parity gate.
     """
+    if compute_dtype is not None:
+        dt = jnp.dtype(compute_dtype)
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+    elif precision is None:
+        precision = jax.lax.Precision.HIGHEST
     out = jax.lax.conv_general_dilated(
         x,
         kernel,
@@ -108,9 +122,12 @@ def adaptive_avg_pool(x, out_size: int):
     """
     h, w = x.shape[1], x.shape[2]
     ph, pw = adaptive_pool_matrices(h, w, out_size)
-    # [B,H,W,C] -> rows: contract H with ph^T -> [B,out,W,C]
-    x = jnp.einsum("bhwc,oh->bowc", x, ph)
-    x = jnp.einsum("bhwc,ow->bhoc", x, pw)
+    # [B,H,W,C] -> rows: contract H with ph^T -> [B,out,W,C].  Tiny
+    # contractions — run them at HIGHEST so TPU default bf16 truncation
+    # can't leak into the pooled features.
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("bhwc,oh->bowc", x, ph, precision=hi)
+    x = jnp.einsum("bhwc,ow->bhoc", x, pw, precision=hi)
     return x
 
 
@@ -166,9 +183,21 @@ def batch_norm_train(x, mean_running, var_running, gamma, beta,
     return y, new_mean, new_var
 
 
-def linear(x, weight, bias=None):
-    """``nn.Linear`` with weights stored [in, out] (frameID/net.py:54)."""
-    out = jnp.dot(x, weight, preferred_element_type=jnp.float32)
+def linear(x, weight, bias=None, *, compute_dtype=None):
+    """``nn.Linear`` with weights stored [in, out] (frameID/net.py:54).
+
+    Same precision contract as ``conv2d_same``: bf16 operands on request,
+    otherwise explicit HIGHEST so TPU f32 really is f32.
+    """
+    if compute_dtype is not None:
+        dt = jnp.dtype(compute_dtype)
+        x = x.astype(dt)
+        weight = weight.astype(dt)
+        precision = None
+    else:
+        precision = jax.lax.Precision.HIGHEST
+    out = jnp.dot(x, weight, preferred_element_type=jnp.float32,
+                  precision=precision)
     if bias is not None:
         out = out + bias
     return out

@@ -79,7 +79,8 @@ def make_classify_step(net: GluedNet, *, device_resize: tuple[int, int] | None =
 
     def net_apply(bundle, x):
         return _glued_apply(bundle, x,
-                            conv_cfg=net.conv_cfg, linear_cfg=net.linear_cfg)
+                            conv_cfg=net.conv_cfg, linear_cfg=net.linear_cfg,
+                            compute_dtype=net.compute_dtype)
 
     return step
 
@@ -96,6 +97,7 @@ def classify_video(
     decode_chunk_frames: int = 256,
     device_resize: bool = False,
     cache_path: str | None = None,
+    precision: str = "float32",
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
     """Run decode + classification; return per-frame (conf, pred, stats).
 
@@ -112,7 +114,7 @@ def classify_video(
             )
 
     if net is None:
-        net, _ = load_default_net()
+        net, _ = load_default_net(precision=precision)
         logger.info("Loaded default classifier.")
 
     if decode_workers > 1:
@@ -191,6 +193,7 @@ def segment_video_file(
     device_resize: bool = False,
     cache_path: str | None = None,
     net: GluedNet | None = None,
+    precision: str = "float32",
 ) -> tuple[str, Segmentation, PipelineStats]:
     """Full pipeline to CSV; returns (csv_path, segmentation, stats).
 
@@ -206,6 +209,7 @@ def segment_video_file(
         batch_size=batch_size, resize=resize, frame_limit=frame_limit,
         print_every=print_every, decode_workers=decode_workers,
         device_resize=device_resize, cache_path=cache_path,
+        precision=precision,
     )
 
     seg = Segmentation.from_frame_scores(conf, pred)

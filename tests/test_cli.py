@@ -1,0 +1,105 @@
+"""CLI-level tests (arg parsing, export tool, split_video)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_segment_video_parser_defaults():
+    from cut_detection_tpu.cli.segment_video import build_parser
+
+    ns = build_parser().parse_args(["video.mp4"])
+    # Reference defaults (segment_video.py:84-120).
+    assert ns.output_path is None
+    assert ns.base_threshold == 100
+    assert ns.blank_threshold == 10
+    assert ns.batch_size == 128
+    assert ns.print_every == 50
+    assert ns.frame_limit is None
+    assert not ns.cpu
+    # TPU-era extensions default to reference-equivalent behavior.
+    assert ns.decode_workers == 1
+    assert not ns.device_resize
+    assert ns.precision == "float32"
+
+
+def test_argfile_support(tmp_path):
+    from cut_detection_tpu.cli.segment_video import build_parser
+
+    argfile = tmp_path / "args.txt"
+    argfile.write_text("video.mp4\n--batch-size\n64\n")
+    ns = build_parser().parse_args([f"@{argfile}"])
+    assert ns.input_path == "video.mp4"
+    assert ns.batch_size == 64
+
+
+def test_split_video_cli(tmp_path, synthetic_video):
+    from cut_detection_tpu.cli.split_video import main
+
+    out = tmp_path / "frames"
+    main([synthetic_video, str(out), "--max-frames", "10", "--resize", "128"])
+    files = sorted(os.listdir(out))
+    assert files[0] == "frame_0000000.jpg"
+    assert len(files) == 10
+    import cv2
+
+    img = cv2.imread(str(out / files[0]))
+    assert img.shape[1] == 128  # resized width (split_video.py:35-38 rule)
+
+
+def test_split_video_parallel_matches(tmp_path, synthetic_video):
+    from cut_detection_tpu.cli.split_video import main
+    import cv2
+
+    a = tmp_path / "seq"
+    b = tmp_path / "par"
+    main([synthetic_video, str(a), "--max-frames", "20"])
+    main([synthetic_video, str(b), "--max-frames", "20",
+          "--decode-workers", "3"])
+    for f in sorted(os.listdir(a))[:20]:
+        ia = cv2.imread(str(a / f))
+        ib = cv2.imread(str(b / f))
+        np.testing.assert_array_equal(ia, ib)
+
+
+def test_export_model_stablehlo(tmp_path):
+    from cut_detection_tpu.cli.export_model import main
+
+    out = str(tmp_path / "prod.stablehlo")
+    path = main(["--use-default-net", "--output", out,
+                 "--batch-size", "2", "--height", "72", "--width", "96"])
+    assert path == out
+    assert os.path.getsize(out) > 1000
+
+    # Round-trip through the serialized artifact.
+    import jax
+
+    with open(out, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    x = np.random.default_rng(0).random((2, 72, 96, 3), dtype=np.float32)
+    logits = np.asarray(exported.call(x))
+    from cut_detection_tpu.models.assembly import load_default_net
+
+    net, _ = load_default_net()
+    np.testing.assert_allclose(logits, np.asarray(net(x)), atol=1e-5)
+
+
+def test_export_model_torch(tmp_path, torch):
+    from cut_detection_tpu.cli.export_model import main
+
+    out = str(tmp_path / "texport")
+    main(["--use-default-net", "--format", "torch", "--output", out])
+    conv_sd = torch.load(os.path.join(out, "classifier_conv.pt"),
+                         weights_only=True)
+    assert "conv_layers.0.conv.weight" in conv_sd
+    assert tuple(conv_sd["conv_layers.0.conv.weight"].shape) == (48, 3, 3, 3)
+
+
+def test_labelling_storage(tmp_path):
+    from cut_detection_tpu.cli.labelling import get_labels, write_label
+
+    assert get_labels(str(tmp_path)) == {}
+    labels = write_label(str(tmp_path), {}, 7, "EZ")
+    assert labels == {"7": "EZ"}
+    assert get_labels(str(tmp_path)) == {"7": "EZ"}

@@ -1,0 +1,130 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cut_detection_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from cut_detection_tpu.parallel.sharding import (
+    make_sharded_classify_step,
+    replicate,
+    shard_batch,
+    shard_bundle,
+)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(8, 1) == (8, 1)
+    assert mesh_shape_for(8, 2) == (4, 2)
+    with pytest.raises(ValueError):
+        mesh_shape_for(8, 3)
+
+
+@needs_8
+def test_data_parallel_classify_matches_single_device():
+    from cut_detection_tpu.models.assembly import load_default_net
+
+    net, _ = load_default_net()
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_sharded_classify_step(net, mesh)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(16, 36, 64, 3), dtype=np.uint8)
+    bundle = replicate(mesh, net.bundle)
+    conf, pred = step(bundle, shard_batch(mesh, frames))
+
+    # Single-device baseline through the plain pipeline step.
+    from cut_detection_tpu.pipeline import make_classify_step
+
+    sstep = make_classify_step(net)
+    conf1, pred1 = sstep(net.bundle, frames)
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(conf1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred1))
+
+
+@needs_8
+def test_tensor_parallel_classify_matches_replicated():
+    from cut_detection_tpu.models.assembly import load_default_net
+
+    net, _ = load_default_net()
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+    bundle_tp = shard_bundle(mesh, net.bundle, tensor_parallel=True)
+    step_tp = make_sharded_classify_step(net, mesh, tensor_parallel=True)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(8, 36, 64, 3), dtype=np.uint8)
+    conf_tp, pred_tp = step_tp(bundle_tp, shard_batch(mesh, frames))
+
+    from cut_detection_tpu.pipeline import make_classify_step
+
+    sstep = make_classify_step(net)
+    conf, pred = sstep(net.bundle, frames)
+    np.testing.assert_allclose(np.asarray(conf_tp), np.asarray(conf),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(pred_tp), np.asarray(pred))
+
+
+@needs_8
+def test_data_parallel_train_step_matches_single_device():
+    from cut_detection_tpu.config import TrainConfig
+    from cut_detection_tpu.train.supervised import (
+        init_train_state,
+        jit_steps,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(conv_layers=2, conv_hidden_channels=8, avg_pool_size=2,
+                      linear_layers=2, linear_size=8, output_size=3,
+                      batch_size=16, epochs=1)
+    mesh = make_mesh(jax.devices()[:8])
+    train_sharded, _, _ = jit_steps(cfg, mesh)
+    step_single, _ = make_train_step(cfg)
+    step_single = jax.jit(step_single)
+
+    state0 = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 255, size=(16, 27, 48, 3), dtype=np.uint8)
+    y = rng.integers(0, 3, size=(16,)).astype(np.int64)
+
+    s_sh, m_sh = train_sharded(replicate(mesh, state0),
+                               shard_batch(mesh, x), shard_batch(mesh, y))
+    s_1, m_1 = step_single(state0, x, y)
+
+    # Global-batch BN + global grad reduction == the single-device step.
+    assert float(m_sh["loss"]) == pytest.approx(float(m_1["loss"]), rel=1e-5)
+    # Params: a first AdamW step is ~sign(g)*lr, so float reduction-order
+    # noise on near-zero grads legitimately moves params by O(lr).  Bound
+    # by 2*lr rather than exact equality.
+    for a, b in zip(jax.tree_util.tree_leaves(s_sh["params"]),
+                    jax.tree_util.tree_leaves(s_1["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    # BN running stats are pure global-batch moments — those match tightly.
+    for a, b in zip(jax.tree_util.tree_leaves(s_sh["bn_state"]),
+                    jax.tree_util.tree_leaves(s_1["bn_state"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@needs_8
+def test_graft_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_graft_entry_single_device():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 3)

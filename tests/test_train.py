@@ -1,0 +1,184 @@
+"""Training-step and checkpoint/resume tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cut_detection_tpu.config import ContrastiveConfig, TrainConfig
+
+
+def _tiny_cfg(**kw):
+    base = dict(conv_layers=2, conv_hidden_channels=8, avg_pool_size=2,
+                linear_layers=2, linear_size=8, output_size=3, batch_size=16,
+                epochs=1)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _batch(rng, b=16, h=27, w=48):
+    x = rng.integers(0, 255, size=(b, h, w, 3), dtype=np.uint8)
+    y = rng.integers(0, 3, size=(b,)).astype(np.int64)
+    return x, y
+
+
+def test_supervised_step_decreases_loss():
+    from cut_detection_tpu.train.supervised import (
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = _tiny_cfg(learning_rate=3e-3)
+    step, _ = make_train_step(cfg)
+    step = jax.jit(step)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x, y = _batch(rng, b=32)
+    first = None
+    for _ in range(30):
+        state, metrics = step(state, x, y)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first * 0.5
+    assert int(state["step"]) == 30
+
+
+def test_eval_step_per_class_counts():
+    from cut_detection_tpu.train.supervised import (
+        init_train_state,
+        make_eval_step,
+    )
+
+    cfg = _tiny_cfg()
+    eval_step = jax.jit(make_eval_step(cfg))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    x, y = _batch(rng, b=48)
+    m = eval_step(state, x, y)
+    total = np.asarray(m["total"])
+    correct = np.asarray(m["correct"])
+    assert total.sum() == 48
+    assert (correct <= total).all()
+    np.testing.assert_array_equal(total, np.bincount(y, minlength=3))
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    from cut_detection_tpu.train.checkpointing import (
+        latest_checkpoint,
+        load_train_state,
+        save_train_state,
+    )
+    from cut_detection_tpu.train.supervised import (
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = _tiny_cfg()
+    step, _ = make_train_step(cfg)
+    step = jax.jit(step)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    x, y = _batch(rng)
+    state, _ = step(state, x, y)
+    save_train_state(str(tmp_path), state, cfg, epoch=0)
+
+    template = init_train_state(jax.random.PRNGKey(0), cfg)
+    ckpt = latest_checkpoint(str(tmp_path))
+    restored = load_train_state(ckpt, template)
+
+    # Continue training from both and compare exactly: full state (params,
+    # BN stats, optimizer moments) must round-trip.
+    s1, m1 = step(state, x, y)
+    s2, m2 = step(restored, x, y)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_model_triplet_save_load(tmp_path):
+    from cut_detection_tpu.models.assembly import load_and_glue_nets
+    from cut_detection_tpu.train.checkpointing import save_model_triplet
+    from cut_detection_tpu.train.supervised import init_train_state
+
+    cfg = _tiny_cfg()
+    state = init_train_state(jax.random.PRNGKey(3), cfg)
+    save_model_triplet(str(tmp_path), "toy", state, cfg)
+
+    net, params = load_and_glue_nets(
+        str(tmp_path / "toy_model_params.json"),
+        str(tmp_path / "toy_classifier_conv.npz"),
+        str(tmp_path / "toy_classifier_linear.npz"),
+    )
+    assert params["conv_channels"] == 8
+    rng = np.random.default_rng(4)
+    x = rng.random((4, 27, 48, 3), dtype=np.float32)
+    logits = np.asarray(net(x))
+    assert logits.shape == (4, 3)
+    assert np.isfinite(logits).all()
+
+
+@pytest.mark.parametrize("export_torch", [True])
+def test_model_triplet_torch_export_loads_in_reference(tmp_path, export_torch,
+                                                       torch):
+    from tests.conftest import import_reference, REFERENCE_DIR
+    import os
+
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference unavailable")
+
+    from cut_detection_tpu.train.checkpointing import save_model_triplet
+    from cut_detection_tpu.train.supervised import init_train_state
+    from cut_detection_tpu.models.assembly import GluedNet
+    from cut_detection_tpu.config import ModelParams
+
+    cfg = _tiny_cfg()
+    state = init_train_state(jax.random.PRNGKey(5), cfg)
+    save_model_triplet(str(tmp_path), "toy", state, cfg, export_torch=True)
+
+    net_mod = import_reference("frameID.net")
+    tnet, tparams = net_mod.load_and_glue_nets(
+        str(tmp_path / "toy_model_params.json"),
+        str(tmp_path / "toy_classifier_conv.pt"),
+        str(tmp_path / "toy_classifier_linear.pt"),
+    )
+    tnet.eval()
+    # And our side of the same triplet.
+    mp = ModelParams.from_json(str(tmp_path / "toy_model_params.json"))
+    bundle = {"conv": {"params": jax.device_get(state["params"]["conv"]),
+                       "state": jax.device_get(state["bn_state"]["conv"])},
+              "linear": {"params": jax.device_get(state["params"]["linear"]),
+                         "state": jax.device_get(state["bn_state"]["linear"])}}
+    ours = GluedNet(bundle, mp)
+    rng = np.random.default_rng(6)
+    x = rng.random((4, 27, 48, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(ours(x)), ref, atol=1e-4)
+
+
+def test_contrastive_step_runs_and_improves():
+    from cut_detection_tpu.train.contrastive import (
+        init_contrastive_state,
+        make_contrastive_step,
+    )
+
+    cfg = ContrastiveConfig(conv_layers=2, conv_hidden_channels=8,
+                            linear_layers=2, linear_size=8, output_size=4,
+                            batch_size=8, learning_rate=1e-3)
+    step, _ = make_contrastive_step(cfg, view_size=(36, 64))
+    step = jax.jit(step)
+    state = init_contrastive_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, size=(8, 72, 128, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub, x)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # On a tiny fixed batch the contrastive loss should trend down.
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
