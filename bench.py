@@ -42,7 +42,8 @@ def bench_ours(batch: int, steps: int, min_seconds: float) -> float:
     from cut_detection_tpu.models.assembly import _glued_apply, load_default_net
     from cut_detection_tpu.ops.preprocess import normalize_frames
 
-    net, _ = load_default_net()
+    precision = os.environ.get("BENCH_PRECISION", "float32")
+    net, _ = load_default_net(precision=precision)
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8)
     frames = jax.device_put(frames)
@@ -50,10 +51,12 @@ def bench_ours(batch: int, steps: int, min_seconds: float) -> float:
     @jax.jit
     def run(bundle, frames_u8, k):
         def body(i, acc):
-            x = frames_u8 + i.astype(jnp.uint8)  # iteration-dependent input
-            logits = _glued_apply(bundle, normalize_frames(x),
+            # Iteration-dependent input so XLA can't hoist or dedupe.
+            xx = normalize_frames(frames_u8 + i.astype(jnp.uint8))
+            logits = _glued_apply(bundle, xx,
                                   conv_cfg=net.conv_cfg,
-                                  linear_cfg=net.linear_cfg)
+                                  linear_cfg=net.linear_cfg,
+                                  compute_dtype=net.compute_dtype)
             return acc + jnp.sum(logits)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
@@ -101,15 +104,17 @@ def bench_reference(batch: int, seconds: float) -> float | None:
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", 512))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    steps = int(os.environ.get("BENCH_STEPS", 64))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
+    precision = os.environ.get("BENCH_PRECISION", "float32")
 
     ours = bench_ours(batch, steps, seconds)
     ref = bench_reference(min(batch, 128), min(seconds, 8.0))
 
     result = {
-        "metric": "frames/sec/chip, 256x144 uint8 -> classify (prod net)",
+        "metric": ("frames/sec/chip, 256x144 uint8 -> classify "
+                   f"(prod net, {precision})"),
         "value": round(ours, 1),
         "unit": "frames/sec",
         "vs_baseline": round(ours / ref, 2) if ref else None,

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-resize", action="store_true",
                    help="Resize frames on the accelerator (bit-exact cv2 "
                         "emulation) instead of the host.")
+    p.add_argument("--pallas-preprocess", action="store_true",
+                   help="Use the fused Pallas resize+normalize kernel "
+                        "(float bilinear fast path, implies on-device "
+                        "preprocessing).")
     p.add_argument("--cache-scores", type=str, default=None,
                    help="Path to a per-frame score cache (.npz); resumes "
                         "from it if present.")
@@ -93,6 +97,7 @@ def main(args=None) -> str:
             print_every=ns.print_every,
             decode_workers=ns.decode_workers,
             device_resize=ns.device_resize,
+            pallas_preprocess=ns.pallas_preprocess,
             cache_path=ns.cache_scores,
             precision=ns.precision,
         )

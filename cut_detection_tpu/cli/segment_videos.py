@@ -1,0 +1,76 @@
+"""Batch inference CLI: segment MANY videos with one model load/compile.
+
+The multi-game configuration (BASELINE.md config #5).  With more than one
+device, frame batches shard across the mesh's ``data`` axis
+(``--data-parallel``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from cut_detection_tpu.utils.logging import setup_logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Segment several videos into scenes.",
+                                fromfile_prefix_chars="@")
+    p.add_argument("input_paths", type=str, nargs="+",
+                   help="Paths to videos to segment.")
+    p.add_argument("--base-threshold", type=int, default=100)
+    p.add_argument("--blank-threshold", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--print-every", type=int, default=0)
+    p.add_argument("--decode-workers", type=int, default=1)
+    p.add_argument("--device-resize", action="store_true")
+    p.add_argument("--precision", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard frame batches across all local devices.")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main(args=None) -> list[str]:
+    ns = build_parser().parse_args(args)
+    setup_logging()
+
+    from cut_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    logging.info("Using %s x%d", jax.devices()[0].platform, len(jax.devices()))
+
+    mesh = None
+    if ns.data_parallel and len(jax.devices()) > 1:
+        from cut_detection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    from cut_detection_tpu.pipeline import segment_many
+
+    results = segment_many(
+        ns.input_paths,
+        base_threshold=ns.base_threshold,
+        blank_threshold=ns.blank_threshold,
+        batch_size=ns.batch_size,
+        print_every=ns.print_every,
+        decode_workers=ns.decode_workers,
+        device_resize=ns.device_resize,
+        precision=ns.precision,
+        mesh=mesh,
+    )
+    outs = [r[0] for r in results]
+    for out, (_, seg, stats) in zip(outs, results):
+        logging.info("%s: %d segments, %.1f fps", out, len(seg),
+                     stats.frames_per_sec)
+    return outs
+
+
+if __name__ == "__main__":
+    main()

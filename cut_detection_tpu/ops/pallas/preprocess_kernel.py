@@ -59,10 +59,16 @@ def _resize_matrices(in_h: int, in_w: int, out_h: int, out_w: int):
 
 def _kernel(frame_ref, rh_ref, rw_ref, out_ref):
     # frame_ref: [1, 1, H, W] uint8 plane block; rh: [out_h, H]; rw: [W, out_w].
-    plane = frame_ref[0, 0, :, :].astype(jnp.float32)
-    rows = jnp.dot(rh_ref[:], plane, preferred_element_type=jnp.float32)
+    # Mosaic has no direct uint8->f32 cast; widen through int32 first.
+    plane = frame_ref[0, 0, :, :].astype(jnp.int32).astype(jnp.float32)
+    # HIGHEST: MXU DEFAULT would truncate the f32 pixels to bf16 operands
+    # (~0.004 absolute error on [0,1] pixels).
+    hi = jax.lax.Precision.HIGHEST
+    rows = jnp.dot(rh_ref[:], plane, preferred_element_type=jnp.float32,
+                   precision=hi)
     out_ref[0, 0, :, :] = jnp.dot(rows, rw_ref[:],
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=hi)
 
 
 def fused_resize_normalize(frames_u8_bgr, out_h: int, out_w: int,

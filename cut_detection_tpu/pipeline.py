@@ -55,20 +55,44 @@ class PipelineStats:
     steady_frames_per_sec: float = 0.0
 
 
-def make_classify_step(net: GluedNet, *, device_resize: tuple[int, int] | None = None):
+def make_classify_step(net: GluedNet, *,
+                       device_resize: tuple[int, int] | None = None,
+                       pallas_preprocess: bool = False,
+                       mesh=None):
     """Build the jitted device step: uint8 NHWC BGR -> (conf, pred).
 
     ``device_resize=(out_h, out_w)`` moves the bilinear resize on device
     (bit-exact cv2 emulation, ops/resize.py); otherwise frames must already
-    be at model resolution.
+    be at model resolution.  ``pallas_preprocess`` uses the fused Pallas
+    resize+flip+normalize kernel instead (float bilinear — fast path, not
+    bit-exact with cv2).  With ``mesh``, frame batches shard over the
+    ``data`` axis and params replicate (multi-chip data parallelism).
     """
 
-    @functools.partial(jax.jit, static_argnames=())
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        jit_kwargs = dict(
+            in_shardings=(NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P("data"))),
+            out_shardings=(NamedSharding(mesh, P("data")),
+                           NamedSharding(mesh, P("data"))),
+        )
+    else:
+        jit_kwargs = {}
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def step(bundle, frames_u8):
         x = frames_u8
-        if device_resize is not None:
-            x = resize_bilinear(x, device_resize[0], device_resize[1], exact=True)
-        x = normalize_frames(x)
+        if device_resize is not None and pallas_preprocess:
+            from cut_detection_tpu.ops.pallas import fused_resize_normalize
+
+            x = fused_resize_normalize(x, device_resize[0], device_resize[1])
+        else:
+            if device_resize is not None:
+                x = resize_bilinear(x, device_resize[0], device_resize[1],
+                                    exact=True)
+            x = normalize_frames(x)
         logits = net_apply(bundle, x)
         conf = jnp.max(logits, axis=1)
         pred = jnp.argmax(logits, axis=1).astype(jnp.int32)
@@ -96,8 +120,10 @@ def classify_video(
     decode_workers: int = 1,
     decode_chunk_frames: int = 256,
     device_resize: bool = False,
+    pallas_preprocess: bool = False,
     cache_path: str | None = None,
     precision: str = "float32",
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
     """Run decode + classification; return per-frame (conf, pred, stats).
 
@@ -117,20 +143,21 @@ def classify_video(
         net, _ = load_default_net(precision=precision)
         logger.info("Loaded default classifier.")
 
+    on_device_preprocess = device_resize or pallas_preprocess
     if decode_workers > 1:
         source = ParallelVideoReader(
             input_path,
-            resize=None if device_resize else resize,
+            resize=None if on_device_preprocess else resize,
             num_threads=decode_workers,
             chunk_frames=decode_chunk_frames,
         )
     else:
         source = VideoFrameSource(
-            input_path, resize=None if device_resize else resize
+            input_path, resize=None if on_device_preprocess else resize
         )
 
     dr = None
-    if device_resize:
+    if device_resize or pallas_preprocess:
         from cut_detection_tpu.ops.resize import reference_resize_dims
 
         w = source.video_info["width"]
@@ -138,7 +165,12 @@ def classify_video(
         new_w, new_h = reference_resize_dims(w, h, resize)
         dr = (new_h, new_w)
 
-    step = make_classify_step(net, device_resize=dr)
+    if mesh is not None and batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"batch_size={batch_size} must divide over the data axis "
+            f"({mesh.shape['data']} shards)")
+    step = make_classify_step(net, device_resize=dr,
+                              pallas_preprocess=pallas_preprocess, mesh=mesh)
 
     meter = ThroughputMeter(warmup_items=batch_size)
     meter.start()
@@ -191,9 +223,11 @@ def segment_video_file(
     print_every: int = 50,
     decode_workers: int = 1,
     device_resize: bool = False,
+    pallas_preprocess: bool = False,
     cache_path: str | None = None,
     net: GluedNet | None = None,
     precision: str = "float32",
+    mesh=None,
 ) -> tuple[str, Segmentation, PipelineStats]:
     """Full pipeline to CSV; returns (csv_path, segmentation, stats).
 
@@ -208,8 +242,8 @@ def segment_video_file(
         input_path, net,
         batch_size=batch_size, resize=resize, frame_limit=frame_limit,
         print_every=print_every, decode_workers=decode_workers,
-        device_resize=device_resize, cache_path=cache_path,
-        precision=precision,
+        device_resize=device_resize, pallas_preprocess=pallas_preprocess,
+        cache_path=cache_path, precision=precision, mesh=mesh,
     )
 
     seg = Segmentation.from_frame_scores(conf, pred)
@@ -226,3 +260,31 @@ def segment_video_file(
     logger.info("Writing %d segments to %s", len(seg), output_path)
     seg.write_csv(output_path)
     return output_path, seg, stats
+
+
+def segment_many(
+    input_paths: list[str],
+    output_paths: list[str] | None = None,
+    *,
+    mesh=None,
+    precision: str = "float32",
+    **kwargs,
+) -> list[tuple[str, Segmentation, PipelineStats]]:
+    """Segment several videos with ONE loaded model and one compiled step.
+
+    The multi-game batch configuration (BASELINE.md config #5): per-video
+    decode pipelines feed the shared classify step, so the jit compile and
+    checkpoint load are paid once.  With a multi-device ``mesh`` the frame
+    batches additionally shard over the ``data`` axis (pure data
+    parallelism over the frame axis — SURVEY.md §2.3; the classify step is
+    jitted with P('data') batch sharding and replicated params).
+    """
+    net, _ = load_default_net(precision=precision)
+    results = []
+    for i, path in enumerate(input_paths):
+        out = output_paths[i] if output_paths else None
+        results.append(
+            segment_video_file(path, out, net=net, precision=precision,
+                               mesh=mesh, **kwargs)
+        )
+    return results
