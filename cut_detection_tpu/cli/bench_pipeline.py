@@ -1,0 +1,135 @@
+"""Pipeline benchmark tool: decode / transfer / classify / end-to-end rates.
+
+The primary metric is frames/sec (BASELINE.md).  This tool breaks the
+pipeline into its stages so regressions are attributable:
+
+- ``decode``      host decode(+resize) only, sequential and chunk-parallel
+- ``classify``    device-resident classify loop (no host I/O)
+- ``e2e``         the full segment_video_file path
+
+Prints one JSON line per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from cut_detection_tpu.utils.logging import setup_logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Benchmark the pipeline stage by stage.")
+    p.add_argument("input_path", type=str, help="Video to benchmark with.")
+    p.add_argument("--stages", nargs="+",
+                   default=["decode", "classify", "e2e"],
+                   choices=["decode", "classify", "e2e"])
+    p.add_argument("--decode-workers", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--frame-limit", type=int, default=2000)
+    p.add_argument("--precision", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def bench_decode(path: str, workers: int, limit: int) -> list[dict]:
+    from cut_detection_tpu.data.video import (
+        ParallelVideoReader,
+        VideoFrameSource,
+    )
+
+    out = []
+    for tag, make in (
+        ("decode_sequential", lambda: VideoFrameSource(path, resize=256)),
+        ("decode_parallel",
+         lambda: ParallelVideoReader(path, resize=256, num_threads=workers)),
+    ):
+        src = make()
+        n = 0
+        t0 = time.perf_counter()
+        for _ in src:
+            n += 1
+            if n >= limit:
+                break
+        dt = time.perf_counter() - t0
+        out.append({"metric": tag, "value": round(n / dt, 1),
+                    "unit": "frames/sec"})
+    return out
+
+
+def bench_classify(batch: int, precision: str, seconds: float = 8.0) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cut_detection_tpu.models.assembly import _glued_apply, load_default_net
+    from cut_detection_tpu.ops.preprocess import normalize_frames
+
+    net, _ = load_default_net(precision=precision)
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8))
+
+    @jax.jit
+    def run(bundle, frames_u8, k):
+        def body(i, acc):
+            xx = normalize_frames(frames_u8 + i.astype(jnp.uint8))
+            logits = _glued_apply(bundle, xx, conv_cfg=net.conv_cfg,
+                                  linear_cfg=net.linear_cfg,
+                                  compute_dtype=net.compute_dtype)
+            return acc + jnp.sum(logits)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    float(run(net.bundle, frames, 1))  # compile (value fetch = real sync)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        float(run(net.bundle, frames, 32))
+        n += 32 * batch
+    return {"metric": f"classify_device ({precision})",
+            "value": round(n / (time.perf_counter() - t0), 1),
+            "unit": "frames/sec"}
+
+
+def bench_e2e(path: str, workers: int, batch: int, limit: int,
+              precision: str) -> dict:
+    from cut_detection_tpu.pipeline import classify_video
+
+    _, _, stats = classify_video(path, batch_size=batch, frame_limit=limit,
+                                 decode_workers=workers, print_every=0,
+                                 precision=precision)
+    return {"metric": "e2e_classify", "value": round(stats.frames_per_sec, 1),
+            "unit": "frames/sec", "frames": stats.frames}
+
+
+def main(args=None) -> None:
+    ns = build_parser().parse_args(args)
+    setup_logging("WARNING")
+
+    from cut_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    results = []
+    if "decode" in ns.stages:
+        results.extend(bench_decode(ns.input_path, ns.decode_workers,
+                                    ns.frame_limit))
+    if "classify" in ns.stages:
+        results.append(bench_classify(ns.batch_size, ns.precision))
+    if "e2e" in ns.stages:
+        results.append(bench_e2e(ns.input_path, ns.decode_workers,
+                                 ns.batch_size, ns.frame_limit, ns.precision))
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

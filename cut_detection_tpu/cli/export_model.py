@@ -48,7 +48,6 @@ def main(args=None) -> str:
     import jax
 
     from cut_detection_tpu.models.assembly import (
-        GluedNet,
         load_and_glue_nets,
         load_default_net,
     )

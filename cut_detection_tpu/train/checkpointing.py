@@ -111,3 +111,29 @@ def load_model_triplet(model_dir: str, model_name: str):
     linear = load_bundle(os.path.join(model_dir,
                                       f"{model_name}_classifier_linear.npz"))
     return {"conv": conv, "linear": linear}
+
+
+# --- orbax backend (optional) -------------------------------------------
+#
+# The npz snapshots above are dependency-free and exact; orbax adds
+# async/atomic multi-host checkpointing for larger training runs.  Both
+# write the same logical state.
+
+def save_train_state_orbax(directory: str, state, epoch: int) -> str:
+    """Async-capable orbax snapshot of the full train state."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"orbax_{epoch:04d}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_train_state_orbax(path: str, template_state):
+    """Restore an orbax snapshot into ``template_state``'s structure."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path),
+                         jax.device_get(template_state))

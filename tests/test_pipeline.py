@@ -100,6 +100,82 @@ def test_score_cache_roundtrip(synthetic_video, tmp_path):
     assert stats.batches == 0  # served from cache
 
 
+def test_segment_many_reuses_model(synthetic_video, tmp_path):
+    from cut_detection_tpu.pipeline import segment_many
+
+    outs = [str(tmp_path / "a.csv"), str(tmp_path / "b.csv")]
+    results = segment_many([synthetic_video, synthetic_video], outs,
+                           batch_size=64, print_every=0)
+    assert [r[0] for r in results] == outs
+    assert open(outs[0], "rb").read() == open(outs[1], "rb").read()
+
+
+def test_pipeline_sharded_over_mesh(synthetic_video, tmp_path):
+    """classify step sharded over the 8-device CPU mesh == single device."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cut_detection_tpu.parallel.mesh import make_mesh
+    from cut_detection_tpu.pipeline import segment_video_file
+
+    mesh = make_mesh(jax.devices()[:8])
+    a = str(tmp_path / "mesh.csv")
+    b = str(tmp_path / "single.csv")
+    segment_video_file(synthetic_video, a, batch_size=64, mesh=mesh,
+                       print_every=0)
+    segment_video_file(synthetic_video, b, batch_size=64, print_every=0)
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_pipeline_mesh_batch_divisibility(synthetic_video):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cut_detection_tpu.parallel.mesh import make_mesh
+    from cut_detection_tpu.pipeline import classify_video
+
+    mesh = make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="divide"):
+        classify_video(synthetic_video, batch_size=30, mesh=mesh,
+                       print_every=0)
+
+
+def test_truncated_video_accounting(tmp_path):
+    """A corrupt/truncated file decodes partially; the pipeline truncates
+    like the reference (frameID/data.py:213-216) but ACCOUNTS for it.
+
+    Uses an MJPG AVI (frames decode independently, so a cut tail loses only
+    trailing frames while the header stays parseable).
+    """
+    import cv2
+
+    path = str(tmp_path / "clip.avi")
+    w, h = 128, 96
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30,
+                             (w, h))
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        writer.write(rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8))
+    writer.release()
+
+    data = open(path, "rb").read()
+    bad = tmp_path / "bad.avi"
+    bad.write_bytes(data[: int(len(data) * 0.5)])
+    from cut_detection_tpu.data.video import VideoFrameSource
+
+    try:
+        src = VideoFrameSource(str(bad), resize=None)
+    except Exception:
+        pytest.skip("container unreadable after truncation")
+    if src.video_info["length"] <= 0:
+        pytest.skip("container metadata lost by truncation")
+    frames = list(src)
+    assert len(frames) < src.video_info["length"]
+    assert src.frames_failed == src.video_info["length"] - len(frames)
+
+
 def test_default_output_naming(synthetic_video):
     out, seg, _ = segment_video_file(synthetic_video, batch_size=64,
                                      frame_limit=64)
