@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int, default=1,
                    help="Parallel decode threads (1 = sequential reference "
                         "behavior).")
+    p.add_argument("--decoder", choices=["cv2", "native", "auto"],
+                   default="cv2",
+                   help="Decode backend: OpenCV, the native libav stage, "
+                        "or auto (native when built).")
     p.add_argument("--device-resize", action="store_true",
                    help="Resize frames on the accelerator (bit-exact cv2 "
                         "emulation) instead of the host.")
@@ -96,6 +100,7 @@ def main(args=None) -> str:
             frame_limit=ns.frame_limit,
             print_every=ns.print_every,
             decode_workers=ns.decode_workers,
+            decoder=ns.decoder,
             device_resize=ns.device_resize,
             pallas_preprocess=ns.pallas_preprocess,
             cache_path=ns.cache_scores,

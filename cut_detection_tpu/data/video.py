@@ -51,6 +51,16 @@ def _require_cv2():
         )
 
 
+def _host_resize(frame: np.ndarray, new_width: int, new_height: int):
+    """Host resize: cv2 INTER_LINEAR, or the bit-identical native C++ path."""
+    if cv2 is not None:
+        return cv2.resize(frame, (new_width, new_height),
+                          interpolation=cv2.INTER_LINEAR)
+    from cut_detection_tpu import native as native_ops
+
+    return native_ops.resize_bilinear_u8(frame, new_height, new_width)
+
+
 def open_video(video_path: str):
     """Open a video; return (capture, info).  frameID/data.py:13-31 contract.
 
@@ -128,27 +138,75 @@ class VideoDataset(VideoFrameSource):
         return frame[..., ::-1].astype(np.float32) / 255.0
 
 
+class _Cv2ChunkDecoder:
+    """Seek/read adapter over cv2.VideoCapture for chunked decode."""
+
+    def __init__(self, file_path: str):
+        self.cap = cv2.VideoCapture(file_path)
+
+    def seek(self, frame_index: int) -> None:
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_index)
+
+    def read(self):
+        ret, frame = self.cap.read()
+        return (frame if ret else None)
+
+    def close(self) -> None:
+        self.cap.release()
+
+
+class _NativeChunkDecoder:
+    """Seek/read adapter over the native libav decoder."""
+
+    def __init__(self, file_path: str):
+        from cut_detection_tpu.data.native_video import NativeVideoSource
+
+        self.src = NativeVideoSource(file_path)
+
+    def seek(self, frame_index: int) -> None:
+        self.src.seek(frame_index)
+
+    def read(self):
+        try:
+            return next(self.src)
+        except StopIteration:
+            return None
+
+    def close(self) -> None:
+        self.src.close()
+
+
 class ParallelVideoReader:
     """Chunk-parallel in-order video decode.
 
     The video's frame range is cut into ``chunk_frames``-sized chunks;
-    ``num_threads`` workers each own a private ``cv2.VideoCapture``, seek to
-    their next chunk's first frame (``CAP_PROP_POS_FRAMES``), decode it
-    sequentially (resizing on the host when ``resize`` is set), and publish
-    ``(chunk_idx, frames)`` to a bounded queue.  The consumer reassembles
-    chunks in order, so the frame stream is identical to sequential decode
-    for codecs with exact seeking (every test fixture verifies this; pass
-    ``num_threads=1`` to force the strictly-sequential reference behavior).
+    ``num_threads`` workers each own a private decoder (cv2.VideoCapture or
+    the native libav stage, ``backend``), seek to their next chunk's first
+    frame, decode it sequentially (resizing on the host when ``resize`` is
+    set), and publish ``(chunk_idx, frames)`` to a bounded queue.  The
+    consumer reassembles chunks in order, so the frame stream is identical
+    to sequential decode for codecs with exact seeking (every test fixture
+    verifies this; pass ``num_threads=1`` to force the
+    strictly-sequential reference behavior).
     """
 
     def __init__(self, file_path: str, resize: int | None = None,
                  num_threads: int = 4, chunk_frames: int = 256,
-                 max_pending_chunks: int | None = None):
-        _require_cv2()
+                 max_pending_chunks: int | None = None,
+                 backend: str = "cv2"):
+        self.backend = backend
         self.file_path = file_path
         self.resize = resize
-        cap, self.video_info = open_video(file_path)
-        cap.release()
+        if backend == "native":
+            from cut_detection_tpu.data.native_video import NativeVideoSource
+
+            probe = NativeVideoSource(file_path)
+            self.video_info = probe.video_info
+            probe.close()
+        else:
+            _require_cv2()
+            cap, self.video_info = open_video(file_path)
+            cap.release()
         self.length = self.video_info["length"]
         self.chunk_frames = chunk_frames
         self.num_threads = max(1, min(num_threads, max(1, self.length // chunk_frames + 1)))
@@ -177,9 +235,12 @@ class ParallelVideoReader:
             return c
 
     def _worker(self) -> None:
-        cap = cv2.VideoCapture(self.file_path)
+        if self.backend == "native":
+            dec = _NativeChunkDecoder(self.file_path)
+        else:
+            dec = _Cv2ChunkDecoder(self.file_path)
         try:
-            pos = -1  # current frame position of this capture
+            pos = -1  # current frame position of this decoder
             while not self._stop.is_set():
                 chunk = self._claim_chunk()
                 if chunk is None:
@@ -187,24 +248,22 @@ class ParallelVideoReader:
                 start = chunk * self.chunk_frames
                 end = min(start + self.chunk_frames, self.length)
                 if pos != start:
-                    cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+                    dec.seek(start)
                 frames = []
                 ok = True
                 for _ in range(end - start):
-                    ret, frame = cap.read()
-                    if not ret:
+                    frame = dec.read()
+                    if frame is None:
                         ok = False
                         break
                     if self.new_width is not None:
-                        frame = cv2.resize(
-                            frame, (self.new_width, self.new_height),
-                            interpolation=cv2.INTER_LINEAR,
-                        )
+                        frame = _host_resize(frame, self.new_width,
+                                             self.new_height)
                     frames.append(frame)
                 pos = start + len(frames)
                 self._results.put((chunk, frames, ok))
         finally:
-            cap.release()
+            dec.close()
 
     def __iter__(self) -> Iterator[np.ndarray]:
         for t in range(self.num_threads):

@@ -124,6 +124,7 @@ def classify_video(
     cache_path: str | None = None,
     precision: str = "float32",
     mesh=None,
+    decoder: str = "cv2",
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
     """Run decode + classification; return per-frame (conf, pred, stats).
 
@@ -144,12 +145,23 @@ def classify_video(
         logger.info("Loaded default classifier.")
 
     on_device_preprocess = device_resize or pallas_preprocess
+    if decoder == "auto":
+        from cut_detection_tpu.data import native_video
+
+        decoder = "native" if native_video.available() else "cv2"
     if decode_workers > 1:
         source = ParallelVideoReader(
             input_path,
             resize=None if on_device_preprocess else resize,
             num_threads=decode_workers,
             chunk_frames=decode_chunk_frames,
+            backend=decoder,
+        )
+    elif decoder == "native":
+        from cut_detection_tpu.data.native_video import NativeVideoSource
+
+        source = NativeVideoSource(
+            input_path, resize=None if on_device_preprocess else resize
         )
     else:
         source = VideoFrameSource(
@@ -228,6 +240,7 @@ def segment_video_file(
     net: GluedNet | None = None,
     precision: str = "float32",
     mesh=None,
+    decoder: str = "cv2",
 ) -> tuple[str, Segmentation, PipelineStats]:
     """Full pipeline to CSV; returns (csv_path, segmentation, stats).
 
@@ -244,6 +257,7 @@ def segment_video_file(
         print_every=print_every, decode_workers=decode_workers,
         device_resize=device_resize, pallas_preprocess=pallas_preprocess,
         cache_path=cache_path, precision=precision, mesh=mesh,
+        decoder=decoder,
     )
 
     seg = Segmentation.from_frame_scores(conf, pred)

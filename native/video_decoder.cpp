@@ -1,0 +1,221 @@
+// Native video decoder for cut_detection_tpu (libavformat/libavcodec).
+//
+// The reference's decode stage is OpenCV's VideoCapture (frameID/
+// data.py:13-31, 213) — itself an ffmpeg wrapper.  This is the
+// first-party equivalent (SURVEY.md §2.2: "host-side decode stage"):
+// demux + decode + yuv->BGR24 conversion with a C ABI for ctypes, private
+// per-handle state so N handles can decode N seek-separated chunks in
+// parallel (the ParallelVideoReader pattern).
+//
+// Output format matches cv2: BGR24 interleaved HWC uint8 frames, so the
+// downstream resize/normalize path is byte-compatible with the OpenCV
+// backend.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <new>
+
+namespace {
+
+struct Decoder {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* codec = nullptr;
+    SwsContext* sws = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    int stream_index = -1;
+    int width = 0;
+    int height = 0;
+    double fps = 0.0;
+    int64_t nb_frames = 0;
+    int64_t next_frame = 0;  // index of the next frame vd_read will return
+    bool draining = false;
+
+    ~Decoder() {
+        if (sws) sws_freeContext(sws);
+        if (codec) avcodec_free_context(&codec);
+        if (fmt) avformat_close_input(&fmt);
+        if (pkt) av_packet_free(&pkt);
+        if (frame) av_frame_free(&frame);
+    }
+};
+
+// Decode one frame into dec->frame.  Returns 1 on success, 0 on EOF/error.
+int decode_next(Decoder* d) {
+    while (true) {
+        int ret = avcodec_receive_frame(d->codec, d->frame);
+        if (ret == 0) return 1;
+        if (ret == AVERROR_EOF) return 0;
+        if (ret != AVERROR(EAGAIN)) return 0;
+        if (d->draining) return 0;
+        // Feed more packets.
+        while (true) {
+            ret = av_read_frame(d->fmt, d->pkt);
+            if (ret < 0) {
+                // Flush the decoder.
+                avcodec_send_packet(d->codec, nullptr);
+                d->draining = true;
+                break;
+            }
+            if (d->pkt->stream_index == d->stream_index) {
+                ret = avcodec_send_packet(d->codec, d->pkt);
+                av_packet_unref(d->pkt);
+                if (ret < 0 && ret != AVERROR(EAGAIN)) return 0;
+                break;
+            }
+            av_packet_unref(d->pkt);
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vd_open(const char* path) {
+    auto* d = new (std::nothrow) Decoder();
+    if (!d) return nullptr;
+    if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0 ||
+        avformat_find_stream_info(d->fmt, nullptr) < 0) {
+        delete d;
+        return nullptr;
+    }
+    d->stream_index = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                          nullptr, 0);
+    if (d->stream_index < 0) {
+        delete d;
+        return nullptr;
+    }
+    AVStream* st = d->fmt->streams[d->stream_index];
+    const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!dec) {
+        delete d;
+        return nullptr;
+    }
+    d->codec = avcodec_alloc_context3(dec);
+    if (!d->codec ||
+        avcodec_parameters_to_context(d->codec, st->codecpar) < 0 ||
+        avcodec_open2(d->codec, dec, nullptr) < 0) {
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    d->frame = av_frame_alloc();
+    d->width = st->codecpar->width;
+    d->height = st->codecpar->height;
+    AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate
+                                           : st->r_frame_rate;
+    d->fps = fr.den ? av_q2d(fr) : 0.0;
+    d->nb_frames = st->nb_frames;
+    if (d->nb_frames <= 0 && d->fps > 0 && d->fmt->duration > 0) {
+        d->nb_frames = static_cast<int64_t>(
+            d->fmt->duration / static_cast<double>(AV_TIME_BASE) * d->fps +
+            0.5);
+    }
+    return d;
+}
+
+int vd_info(void* h, int* width, int* height, double* fps,
+            int64_t* nb_frames) {
+    auto* d = static_cast<Decoder*>(h);
+    if (!d) return 0;
+    *width = d->width;
+    *height = d->height;
+    *fps = d->fps;
+    *nb_frames = d->nb_frames;
+    return 1;
+}
+
+// Decode the next frame into out_bgr ([height, width, 3] uint8, BGR24).
+int vd_read_frame(void* h, uint8_t* out_bgr) {
+    auto* d = static_cast<Decoder*>(h);
+    if (!d) return 0;
+    if (!decode_next(d)) return 0;
+    d->sws = sws_getCachedContext(
+        d->sws, d->frame->width, d->frame->height,
+        static_cast<AVPixelFormat>(d->frame->format), d->width, d->height,
+        AV_PIX_FMT_BGR24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!d->sws) return 0;
+    uint8_t* dst_data[4] = {out_bgr, nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {3 * d->width, 0, 0, 0};
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0,
+              d->frame->height, dst_data, dst_linesize);
+    av_frame_unref(d->frame);
+    d->next_frame++;
+    return 1;
+}
+
+// Seek so the next vd_read_frame returns frame `index` (keyframe seek +
+// decode-forward, mirroring cv2's CAP_PROP_POS_FRAMES semantics).
+int vd_seek_frame(void* h, int64_t index) {
+    auto* d = static_cast<Decoder*>(h);
+    if (!d || d->fps <= 0) return 0;
+    AVStream* st = d->fmt->streams[d->stream_index];
+    int64_t ts = av_rescale_q(
+        static_cast<int64_t>(index / d->fps * AV_TIME_BASE),
+        AVRational{1, AV_TIME_BASE}, st->time_base);
+    if (av_seek_frame(d->fmt, d->stream_index, ts,
+                      AVSEEK_FLAG_BACKWARD) < 0) {
+        return 0;
+    }
+    avcodec_flush_buffers(d->codec);
+    d->draining = false;
+    // Decode forward until the frame whose timestamp maps to `index`.
+    while (true) {
+        if (!decode_next(d)) return 0;
+        int64_t pts = d->frame->best_effort_timestamp;
+        int64_t cur = 0;
+        if (pts != AV_NOPTS_VALUE) {
+            cur = static_cast<int64_t>(
+                av_q2d(st->time_base) * pts * d->fps + 0.5);
+        }
+        if (cur >= index) {
+            // Push the frame back conceptually: emit it on next read by
+            // keeping it in d->frame is complex; instead convert on the
+            // next vd_read only if cur == index.  We stop one early by
+            // re-queueing: simplest correct behavior is to stop when the
+            // *next* decode would be `index`, so if cur == index we must
+            // deliver this very frame on the next read.  Achieve that by
+            // remembering it via av_frame_ref into a staging frame.
+            d->next_frame = cur;
+            if (cur == index) {
+                // Stash: move the decoded frame so vd_read_next_uses it.
+                // We re-inject by flagging; see vd_read_stashed below.
+                return 2;  // caller must use vd_read_stashed for this frame
+            }
+            return 1;
+        }
+        av_frame_unref(d->frame);
+    }
+}
+
+// After vd_seek_frame returned 2, fetch the already-decoded target frame.
+int vd_read_stashed(void* h, uint8_t* out_bgr) {
+    auto* d = static_cast<Decoder*>(h);
+    if (!d) return 0;
+    d->sws = sws_getCachedContext(
+        d->sws, d->frame->width, d->frame->height,
+        static_cast<AVPixelFormat>(d->frame->format), d->width, d->height,
+        AV_PIX_FMT_BGR24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!d->sws) return 0;
+    uint8_t* dst_data[4] = {out_bgr, nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {3 * d->width, 0, 0, 0};
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0,
+              d->frame->height, dst_data, dst_linesize);
+    av_frame_unref(d->frame);
+    d->next_frame++;
+    return 1;
+}
+
+void vd_close(void* h) {
+    delete static_cast<Decoder*>(h);
+}
+
+}  // extern "C"

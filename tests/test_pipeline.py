@@ -100,6 +100,38 @@ def test_score_cache_roundtrip(synthetic_video, tmp_path):
     assert stats.batches == 0  # served from cache
 
 
+def test_native_decoder_pipeline_matches_cv2(synthetic_video, tmp_path):
+    from cut_detection_tpu.data import native_video
+
+    if not native_video.available():
+        pytest.skip("native decoder not built")
+    a = str(tmp_path / "native.csv")
+    b = str(tmp_path / "cv2.csv")
+    segment_video_file(synthetic_video, a, batch_size=64, decoder="native",
+                       print_every=0)
+    segment_video_file(synthetic_video, b, batch_size=64, decoder="cv2",
+                       print_every=0)
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_native_parallel_decode_matches(synthetic_video):
+    from cut_detection_tpu.data import native_video
+    from cut_detection_tpu.data.video import (
+        ParallelVideoReader,
+        VideoFrameSource,
+    )
+
+    if not native_video.available():
+        pytest.skip("native decoder not built")
+    seq = list(VideoFrameSource(synthetic_video, resize=256))
+    par = list(ParallelVideoReader(synthetic_video, resize=256,
+                                   num_threads=3, chunk_frames=41,
+                                   backend="native"))
+    assert len(seq) == len(par)
+    for i, (a, b) in enumerate(zip(seq, par)):
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+
+
 def test_segment_many_reuses_model(synthetic_video, tmp_path):
     from cut_detection_tpu.pipeline import segment_many
 
