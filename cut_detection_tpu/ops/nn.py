@@ -37,18 +37,23 @@ def conv2d_same(x, kernel, bias=None, *, precision=None, compute_dtype=None):
     Matches ``nn.Conv2d(in, out, kernel_size=3, padding=1)`` from
     frameID/net.py:24 (stride 1, zero padding 1 on both spatial dims).
 
-    ``compute_dtype="bfloat16"`` casts the MXU operands to bf16 while
-    accumulating in float32 (``preferred_element_type``) — the TPU fast
-    path; everything around the conv stays float32.  With
-    ``compute_dtype=None`` the conv runs at ``Precision.HIGHEST``: on TPU
-    the DEFAULT precision already truncates f32 operands to bf16 on the
-    MXU, so "float32 mode" must request the multi-pass f32 algorithm
-    explicitly to honor the <1e-4 reference-parity gate.
+    Precision modes:
+
+    - ``compute_dtype=None``: ``Precision.HIGHEST`` — on TPU the DEFAULT
+      precision already truncates f32 operands to bf16 on the MXU, so
+      "float32 mode" must request the multi-pass f32 algorithm explicitly
+      to honor the <1e-4 reference-parity gate.
+    - ``"bfloat16"``: bf16 MXU operands, float32 accumulation AND float32
+      activations (HBM traffic unchanged).
+    - ``"bfloat16_full"``: bf16 operands and bf16 activations — halves the
+      HBM traffic of the activation tensors, the fastest path.
     """
+    out_dtype = jnp.float32
     if compute_dtype is not None:
-        dt = jnp.dtype(compute_dtype)
-        x = x.astype(dt)
-        kernel = kernel.astype(dt)
+        x = x.astype(jnp.bfloat16)
+        kernel = kernel.astype(jnp.bfloat16)
+        if str(compute_dtype) == "bfloat16_full":
+            out_dtype = jnp.bfloat16
     elif precision is None:
         precision = jax.lax.Precision.HIGHEST
     out = jax.lax.conv_general_dilated(
@@ -58,10 +63,10 @@ def conv2d_same(x, kernel, bias=None, *, precision=None, compute_dtype=None):
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(out_dtype)
     return out
 
 
@@ -156,7 +161,9 @@ def batch_norm_infer(x, mean, var, gamma, beta, eps: float = BN_EPS):
     """
     s = gamma * jax.lax.rsqrt(var + eps)
     t = beta - mean * s
-    return x * s + t
+    # Scale/offset follow the activation dtype so a bf16 activation path
+    # stays bf16 (s/t are computed in the params' f32 first).
+    return x * s.astype(x.dtype) + t.astype(x.dtype)
 
 
 def batch_norm_train(x, mean_running, var_running, gamma, beta,
@@ -187,12 +194,12 @@ def linear(x, weight, bias=None, *, compute_dtype=None):
     """``nn.Linear`` with weights stored [in, out] (frameID/net.py:54).
 
     Same precision contract as ``conv2d_same``: bf16 operands on request,
-    otherwise explicit HIGHEST so TPU f32 really is f32.
+    otherwise explicit HIGHEST so TPU f32 really is f32.  (FC activations
+    are tiny, so even ``bfloat16_full`` keeps float32 outputs here.)
     """
     if compute_dtype is not None:
-        dt = jnp.dtype(compute_dtype)
-        x = x.astype(dt)
-        weight = weight.astype(dt)
+        x = x.astype(jnp.bfloat16)
+        weight = weight.astype(jnp.bfloat16)
         precision = None
     else:
         precision = jax.lax.Precision.HIGHEST
