@@ -82,6 +82,10 @@ class GluedNet:
 
 def _glued_apply(bundle, x, *, conv_cfg: ConvNetConfig,
                  linear_cfg: LinearNetConfig, compute_dtype=None):
+    # NOTE: the space-to-depth fused frontend (ops/fused_frontend.py) is
+    # deliberately NOT wired in: measured 27x SLOWER on TPU — the stride-3
+    # patch gathers cost far more in relayout than the matmul utilization
+    # win (docs/PERFORMANCE.md).  XLA's native conv lowering wins.
     feats, _ = apply_frame_conv(bundle["conv"]["params"],
                                 bundle["conv"]["state"], x, conv_cfg,
                                 train=False, compute_dtype=compute_dtype)

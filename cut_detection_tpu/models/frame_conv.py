@@ -42,14 +42,29 @@ def init_frame_conv(key, cfg: ConvNetConfig, dtype=jnp.float32):
 
 
 def apply_frame_conv(params, state, x, cfg: ConvNetConfig, *,
-                     train: bool = False, compute_dtype=None):
+                     train: bool = False, compute_dtype=None,
+                     fused_frontend: bool = False):
     """x: [B, H, W, C] -> features [B, hidden * pool^2]; returns (y, state).
 
     ``compute_dtype="bfloat16"`` runs the convolutions on the MXU in bf16
     with float32 accumulation (activations/BN stay float32).
+    ``fused_frontend`` replaces layer 1 (conv+relu+pool+BN) with the
+    space-to-depth matmul (ops/fused_frontend.py) — eval-mode only, used by
+    the bf16 perf paths where float reassociation is already accepted.
     """
     new_state = []
-    for p, s in zip(params, state):
+    layers = list(zip(params, state))
+    start = 0
+    if fused_frontend and not train and x.shape[1] >= 3 and x.shape[2] >= 3:
+        from cut_detection_tpu.ops.fused_frontend import conv1_maxpool_fused
+
+        p, s = layers[0]
+        x = conv1_maxpool_fused(x, p["kernel"], p["bias"], s["mean"],
+                                s["var"], p["gamma"], p["beta"],
+                                compute_dtype=compute_dtype)
+        new_state.append(s)
+        start = 1
+    for p, s in layers[start:]:
         x, s = apply_conv_block(p, s, x, train=train,
                                 compute_dtype=compute_dtype)
         new_state.append(s)
