@@ -20,6 +20,10 @@ from cut_detection_tpu.segmentation.glue import (
     combine_adjacent_segments,
 )
 from cut_detection_tpu.segmentation.csv_io import write_segments_csv
+from cut_detection_tpu.segmentation.device_glue import (
+    device_smooth,
+    smooth_logits,
+)
 
 __all__ = [
     "Segmentation",
@@ -31,4 +35,6 @@ __all__ = [
     "glue_orphans",
     "combine_adjacent_segments",
     "write_segments_csv",
+    "device_smooth",
+    "smooth_logits",
 ]
