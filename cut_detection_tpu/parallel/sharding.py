@@ -118,11 +118,11 @@ def make_sharded_classify_step(net, mesh: Mesh, *, tensor_parallel: bool = False
     in_shardings = (bundle_sharding, batch_sharding(mesh))
     out_shardings = (batch_sharding(mesh), batch_sharding(mesh))
 
-    @jax.jit
     def _step(bundle, frames_u8):
         x = normalize_frames(frames_u8)
         logits = _glued_apply(bundle, x, conv_cfg=net.conv_cfg,
-                              linear_cfg=net.linear_cfg)
+                              linear_cfg=net.linear_cfg,
+                              compute_dtype=net.compute_dtype)
         return jnp.max(logits, axis=1), jnp.argmax(logits, axis=1).astype(
             jnp.int32)
 
