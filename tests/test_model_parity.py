@@ -48,6 +48,48 @@ def test_prod_net_other_shapes(torch, ref_net, shape):
 
 
 @reference_available
+def test_contrastive_config_roundtrip_through_torch(torch):
+    """The contrastive defaults (32ch, avg_pool 1, 3-layer head,
+    learn_contrasts.py:68-76 / net.py:77-79,146-152) through the same
+    export-to-torch oracle."""
+    import jax
+
+    from cut_detection_tpu.config import ConvNetConfig, LinearNetConfig
+    from cut_detection_tpu.checkpoint.convert import export_torch_state_dicts
+    from cut_detection_tpu.models.frame_conv import (
+        apply_frame_conv,
+        apply_frame_linear,
+        init_frame_conv,
+        init_frame_linear,
+    )
+
+    conv_cfg = ConvNetConfig()          # 32ch, 3 layers, pool 1
+    lin_cfg = LinearNetConfig()         # 3 layers, 32->32->8
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    conv_p, conv_s = init_frame_conv(k1, conv_cfg)
+    lin_p, lin_s = init_frame_linear(k2, lin_cfg)
+    conv_sd, lin_sd = export_torch_state_dicts(
+        {"conv": {"params": conv_p, "state": conv_s},
+         "linear": {"params": lin_p, "state": lin_s}})
+
+    net_mod = import_reference("frameID.net")
+    tconv = net_mod.FrameConvNet()
+    tconv.load_state_dict(conv_sd)
+    tlin = net_mod.FrameLinearNet()
+    tlin.load_state_dict(lin_sd)
+    tconv.eval()
+    tlin.eval()
+
+    rng = np.random.default_rng(8)
+    x = rng.random((3, 144, 256, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = tlin(tconv(torch.from_numpy(x.transpose(0, 3, 1, 2)))).numpy()
+    feats, _ = apply_frame_conv(conv_p, conv_s, np.asarray(x), conv_cfg)
+    ours, _ = apply_frame_linear(lin_p, lin_s, feats, lin_cfg)
+    assert np.abs(ref - np.asarray(ours)).max() < 1e-4
+
+
+@reference_available
 def test_random_net_roundtrip_through_torch(torch):
     """Init a fresh JAX net, export to torch state dicts, load into the
     reference modules, and compare logits — exercises both conversion

@@ -1,0 +1,55 @@
+"""Randomized stress sweep: segmentation parity vs the reference oracle.
+
+Broad-coverage sweep over seeds, sizes and thresholds.  Each case runs
+both implementations end to end (table -> glue -> adjacent merge) and
+requires structural equality; catches rare merge-order divergences that a
+handful of fixed seeds could miss.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import import_reference, reference_available
+
+from cut_detection_tpu.segmentation.rle import Segmentation
+
+
+def _random_scores(rng, n, segment_scale):
+    labels = []
+    while sum(len(s) for s in labels) < n:
+        labels.append(np.full(int(rng.integers(1, segment_scale)),
+                              rng.integers(0, 3)))
+    lab = np.concatenate(labels)[:n]
+    scores = rng.normal(0, 1, size=(n, 3)).astype(np.float32)
+    scores[np.arange(n), lab] += rng.uniform(1, 6, size=n).astype(np.float32)
+    return scores
+
+
+@reference_available
+def test_stress_sweep(torch):
+    seg_mod = import_reference("frameID.segmentation")
+    failures = []
+    for seed in range(30):
+        rng = np.random.default_rng(1000 + seed)
+        n = int(rng.integers(200, 6000))
+        scale = int(rng.integers(5, 200))
+        k1 = int(rng.integers(10, 150))
+        kb = int(rng.integers(2, 40))
+        scores = _random_scores(rng, n, scale)
+
+        ours = Segmentation(scores)
+        ref = seg_mod.Segmentation(torch.from_numpy(scores))
+        ours.glue_orphans(k1, kb)
+        ref.glue_orphans(k1, kb)
+        ours.combine_adjacent_segments()
+        ref.combine_adjacent_segments()
+
+        case = f"seed={seed} n={n} scale={scale} k1={k1} kb={kb}"
+        if len(ours) != len(ref):
+            failures.append(f"{case}: count {len(ours)} vs {len(ref)}")
+            continue
+        for key in ["start_frames", "frame_types"]:
+            if not (ours.te[key] == ref.te[key].numpy()).all():
+                failures.append(f"{case}: {key} mismatch")
+                break
+    assert not failures, "\n".join(failures)
