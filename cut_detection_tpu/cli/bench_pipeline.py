@@ -116,7 +116,9 @@ def main(args=None) -> None:
     import jax
 
     if ns.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        from cut_detection_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     results = []
     if "decode" in ns.stages:

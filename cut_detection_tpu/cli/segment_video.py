@@ -79,7 +79,9 @@ def main(args=None) -> str:
     if ns.cpu:
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        from cut_detection_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     from cut_detection_tpu.utils.cache import enable_compilation_cache
 

@@ -43,7 +43,9 @@ def main(args=None) -> list[str]:
     import jax
 
     if ns.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        from cut_detection_tpu.utils.platform import force_cpu
+
+        force_cpu()
     logging.info("Using %s x%d", jax.devices()[0].platform, len(jax.devices()))
 
     mesh = None

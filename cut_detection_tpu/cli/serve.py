@@ -149,7 +149,9 @@ def main(args=None) -> None:
     import jax
 
     if ns.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        from cut_detection_tpu.utils.platform import force_cpu
+
+        force_cpu()
     logging.info("Using %s", jax.devices()[0].platform)
 
     server, _ = make_server(ns.host, ns.port, ns.precision)

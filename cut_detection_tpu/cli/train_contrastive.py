@@ -45,7 +45,9 @@ def main(args=None) -> None:
     import jax
 
     if ns.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        from cut_detection_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     from cut_detection_tpu.checkpoint.io import save_bundle
     from cut_detection_tpu.config import ContrastiveConfig

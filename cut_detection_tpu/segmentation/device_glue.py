@@ -34,7 +34,9 @@ import jax.numpy as jnp
 
 from cut_detection_tpu.segmentation.rle import device_frame_scores
 
-_INF = jnp.float32(jnp.inf)
+# Plain Python float: a module-level jnp constant would initialize the JAX
+# backend at import time (before CLIs can select a platform).
+_INF = float("inf")
 
 
 def _build_tables(conf, pred, max_segments: int):

@@ -59,11 +59,26 @@ class ThroughputMeter:
 
 @contextlib.contextmanager
 def maybe_trace(trace_dir: str | None):
-    """Wrap a region in ``jax.profiler.trace`` when ``trace_dir`` is set."""
+    """Wrap a region in ``jax.profiler.trace`` when ``trace_dir`` is set.
+
+    Profiler startup failures (e.g. backends without profiling support)
+    degrade to a warning — tracing must never take down a production run.
+    """
     if not trace_dir:
         yield
         return
+    import logging
+
     import jax
 
-    with jax.profiler.trace(trace_dir):
+    try:
+        ctx = jax.profiler.trace(trace_dir)
+        ctx.__enter__()
+    except Exception as e:  # pragma: no cover - backend dependent
+        logging.getLogger(__name__).warning("profiler unavailable: %s", e)
         yield
+        return
+    try:
+        yield
+    finally:
+        ctx.__exit__(None, None, None)
