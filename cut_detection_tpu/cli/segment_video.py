@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Use the fused Pallas resize+normalize kernel "
                         "(float bilinear fast path, implies on-device "
                         "preprocessing).")
+    p.add_argument("--device-glue", action="store_true",
+                   help="Run the orphan-glue/merge smoother on the "
+                        "accelerator as one compiled program instead of "
+                        "the host loop (same output).")
     p.add_argument("--cache-scores", type=str, default=None,
                    help="Path to a per-frame score cache (.npz); resumes "
                         "from it if present.")
@@ -109,6 +113,7 @@ def main(args=None) -> str:
             pallas_preprocess=ns.pallas_preprocess,
             cache_path=ns.cache_scores,
             precision=ns.precision,
+            device_glue=ns.device_glue,
         )
     return out_path
 

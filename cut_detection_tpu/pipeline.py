@@ -241,6 +241,7 @@ def segment_video_file(
     precision: str = "float32",
     mesh=None,
     decoder: str = "cv2",
+    device_glue: bool = False,
 ) -> tuple[str, Segmentation, PipelineStats]:
     """Full pipeline to CSV; returns (csv_path, segmentation, stats).
 
@@ -262,12 +263,43 @@ def segment_video_file(
 
     seg = Segmentation.from_frame_scores(conf, pred)
     logger.info("Found %d initial segments", len(seg))
-    seg.glue_orphans(base_threshold, blank_threshold)
-    logger.info("Revised to %d segments through orphan combination.", len(seg))
-    seg.combine_adjacent_segments()
-    logger.info(
-        "Revised to %d segments through matching adjacent combination.", len(seg)
-    )
+    if device_glue:
+        # Full smoother as one jit'd device program (segmentation/
+        # device_glue.py); equivalent to the host loops — falls back to the
+        # host path if the static segment bound is exceeded.
+        from cut_detection_tpu.segmentation.device_glue import device_smooth
+
+        max_segments = max(4096, 1 << (len(seg) - 1).bit_length())
+        start, typ, active, count = device_smooth(
+            conf, pred.astype(np.int32), base_threshold, blank_threshold,
+            max_segments=max_segments)
+        if int(count) <= max_segments:
+            act = np.asarray(active)
+            starts = np.asarray(start)[act]
+            types = np.asarray(typ)[act].astype(np.int64)
+            seg = Segmentation(_te={
+                "start_frames": starts,
+                "frame_types": types,
+                "end_frames": np.concatenate([starts[1:] - 1,
+                                              [len(conf) - 1]]),
+                "run_lengths": np.diff(np.concatenate([starts,
+                                                       [len(conf)]])),
+                "score_means": np.zeros(len(starts), np.float32),
+            })
+            logger.info("Device smoother: %d segments.", len(seg))
+        else:
+            logger.warning("Device smoother bound exceeded (%d segments); "
+                           "using host path.", int(count))
+            device_glue = False
+    if not device_glue:
+        seg.glue_orphans(base_threshold, blank_threshold)
+        logger.info("Revised to %d segments through orphan combination.",
+                    len(seg))
+        seg.combine_adjacent_segments()
+        logger.info(
+            "Revised to %d segments through matching adjacent combination.",
+            len(seg)
+        )
 
     if output_path is None:
         output_path = os.path.splitext(input_path)[0] + "_segments.csv"

@@ -100,6 +100,15 @@ def test_score_cache_roundtrip(synthetic_video, tmp_path):
     assert stats.batches == 0  # served from cache
 
 
+def test_device_glue_pipeline_matches_host(synthetic_video, tmp_path):
+    a = str(tmp_path / "device.csv")
+    b = str(tmp_path / "host.csv")
+    segment_video_file(synthetic_video, a, batch_size=64, device_glue=True,
+                       print_every=0)
+    segment_video_file(synthetic_video, b, batch_size=64, print_every=0)
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
 def test_native_decoder_pipeline_matches_cv2(synthetic_video, tmp_path):
     from cut_detection_tpu.data import native_video
 
