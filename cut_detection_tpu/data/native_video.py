@@ -117,15 +117,12 @@ class NativeVideoSource:
     def _resize(self, frame: np.ndarray) -> np.ndarray:
         if self.new_width is None:
             return frame
-        from cut_detection_tpu import native as native_ops
+        # cv2's hand-vectorized resize is ~25% faster than our scalar C++
+        # implementation; both are bit-identical, so prefer cv2 when
+        # present and fall back to the native path.
+        from cut_detection_tpu.data.video import _host_resize
 
-        if native_ops.available():
-            return native_ops.resize_bilinear_u8(frame, self.new_height,
-                                                 self.new_width)
-        import cv2
-
-        return cv2.resize(frame, (self.new_width, self.new_height),
-                          interpolation=cv2.INTER_LINEAR)
+        return _host_resize(frame, self.new_width, self.new_height)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         return self

@@ -101,8 +101,14 @@ void* vd_open(const char* path) {
     }
     d->codec = avcodec_alloc_context3(dec);
     if (!d->codec ||
-        avcodec_parameters_to_context(d->codec, st->codecpar) < 0 ||
-        avcodec_open2(d->codec, dec, nullptr) < 0) {
+        avcodec_parameters_to_context(d->codec, st->codecpar) < 0) {
+        delete d;
+        return nullptr;
+    }
+    // Auto frame/slice threading (what cv2's ffmpeg backend enables too).
+    d->codec->thread_count = 0;
+    d->codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+    if (avcodec_open2(d->codec, dec, nullptr) < 0) {
         delete d;
         return nullptr;
     }
