@@ -96,6 +96,22 @@ def test_export_model_torch(tmp_path, torch):
     assert tuple(conv_sd["conv_layers.0.conv.weight"].shape) == (48, 3, 3, 3)
 
 
+def test_segment_videos_cli(synthetic_video, tmp_path, monkeypatch):
+    import shutil
+
+    from cut_detection_tpu.cli.segment_videos import main
+
+    a = str(tmp_path / "a.mp4")
+    b = str(tmp_path / "b.mp4")
+    shutil.copy(synthetic_video, a)
+    shutil.copy(synthetic_video, b)
+    outs = main([a, b, "--batch-size", "64"])
+    assert len(outs) == 2
+    assert all(os.path.isfile(o) for o in outs)
+    with open(outs[0], "rb") as f0, open(outs[1], "rb") as f1:
+        assert f0.read() == f1.read()
+
+
 def test_labelling_storage(tmp_path):
     from cut_detection_tpu.cli.labelling import get_labels, write_label
 
