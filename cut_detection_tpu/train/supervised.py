@@ -235,12 +235,14 @@ def train_supervised(cfg: TrainConfig, datasets, *, mesh=None,
             history.append({"epoch": epoch, "train_loss": m.loss / max(m.n, 1),
                             "train_acc": m.correct / max(m.n, 1)})
 
-        # Validation with per-class accuracy.
+        # Validation with per-class accuracy.  The tail batch is kept
+        # (reference drop_last=False, supervised_training.py:85-91); its
+        # different shape costs one extra jit compile, not correctness.
         correct = np.zeros(cfg.output_size)
         total = np.zeros(cfg.output_size)
         vloss, vn = 0.0, 0
         batches = iter_batches(ds, cfg.batch_size, indices=valid_idx,
-                               drop_last=True, num_workers=num_workers)
+                               drop_last=False, num_workers=num_workers)
         for batch in PrefetchLoader(batches):
             metrics = eval_step(state, batch["x"], batch["y"])
             correct += np.asarray(metrics["correct"])
