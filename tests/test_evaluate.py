@@ -1,0 +1,57 @@
+"""Evaluation tool tests (cli/evaluate.py)."""
+
+import csv
+
+import numpy as np
+
+from cut_detection_tpu.cli.evaluate import evaluate, frame_labels
+
+
+def _write(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        for r in rows:
+            w.writerow(r)
+
+
+def test_perfect_match(tmp_path):
+    rows = [(0, "b"), (100, "a22"), (400, "ez")]
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    _write(a, rows)
+    _write(b, rows)
+    res = evaluate(str(a), str(b), num_frames=600)
+    assert res["frame_accuracy"] == 1.0
+    assert res["boundary_precision"] == 1.0
+    assert res["boundary_recall"] == 1.0
+    assert res["pred_segments"] == 3
+
+
+def test_shifted_boundary(tmp_path):
+    truth = [(0, "b"), (100, "a22")]
+    pred = [(0, "b"), (110, "a22")]
+    t = tmp_path / "t.csv"
+    p = tmp_path / "p.csv"
+    _write(t, truth)
+    _write(p, pred)
+    res = evaluate(str(p), str(t), num_frames=200, tolerance=30)
+    # 10 frames mislabeled out of 200.
+    assert res["frame_accuracy"] == 0.95
+    assert res["boundary_precision"] == 1.0  # within tolerance
+    res5 = evaluate(str(p), str(t), num_frames=200, tolerance=5)
+    assert res5["boundary_precision"] == 0.0
+
+
+def test_missing_class_reports_none(tmp_path):
+    t = tmp_path / "t.csv"
+    p = tmp_path / "p.csv"
+    _write(t, [(0, "a22")])
+    _write(p, [(0, "a22")])
+    res = evaluate(str(p), str(t), num_frames=50)
+    assert res["per_class_accuracy"]["ez"] is None
+    assert res["per_class_accuracy"]["a22"] == 1.0
+
+
+def test_frame_labels_expansion():
+    labels = frame_labels([(0, "b"), (5, "ez")], 8)
+    np.testing.assert_array_equal(labels, [2, 2, 2, 2, 2, 1, 1, 1])

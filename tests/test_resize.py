@@ -61,6 +61,21 @@ def test_resize_width_like_reference():
     np.testing.assert_array_equal(out[0], ref)
 
 
+def test_exact_resize_random_size_sweep():
+    """30 random (in, out) size pairs — broad-coverage parity vs cv2."""
+    rng = np.random.default_rng(123)
+    for _ in range(30):
+        in_h = int(rng.integers(8, 800))
+        in_w = int(rng.integers(8, 1400))
+        out_h = int(rng.integers(4, 500))
+        out_w = int(rng.integers(4, 600))
+        img = rng.integers(0, 256, size=(in_h, in_w, 3), dtype=np.uint8)
+        ref = cv2.resize(img, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+        ours = np.asarray(resize_bilinear(img, out_h, out_w, exact=True))
+        np.testing.assert_array_equal(
+            ours, ref, err_msg=f"{in_w}x{in_h} -> {out_w}x{out_h}")
+
+
 def test_float_resize_close_to_exact():
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, size=(360, 640, 3), dtype=np.uint8)
