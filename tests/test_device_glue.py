@@ -82,6 +82,37 @@ def test_smooth_logits_convenience():
     np.testing.assert_array_equal(typ, ref_type)
 
 
+def test_device_smooth_stress_sweep():
+    """Randomized sweep (sizes, thresholds, both mean modes) — the device
+    program must reproduce the host merge order structurally every time."""
+    failures = []
+    for seed in range(15):
+        rng = np.random.default_rng(500 + seed)
+        n = int(rng.integers(300, 6000))
+        scale = int(rng.integers(5, 180))
+        k1 = int(rng.integers(10, 150))
+        kb = int(rng.integers(2, 40))
+        bug = bool(seed % 2)
+        scores = _random_scores(rng, n, segment_scale=scale)
+        seg = Segmentation(scores)
+        seg.glue_orphans(k1, kb, bug_compat=bug)
+        seg.combine_adjacent_segments(bug_compat=bug)
+        conf = scores.max(1).astype(np.float32)
+        pred = scores.argmax(1).astype(np.int32)
+        s, t, a, c = device_smooth(conf, pred, k1, kb, max_segments=8192,
+                                   bug_compat=bug)
+        act = np.asarray(a)
+        case = f"seed={seed} n={n} scale={scale} k1={k1} kb={kb} bug={bug}"
+        if int(c) > 8192:
+            failures.append(f"{case}: capacity")
+            continue
+        if (act.sum() != len(seg.te["start_frames"])
+                or not (np.asarray(s)[act] == seg.te["start_frames"]).all()
+                or not (np.asarray(t)[act] == seg.te["frame_types"]).all()):
+            failures.append(f"{case}: mismatch")
+    assert not failures, "\n".join(failures)
+
+
 def test_bug_compat_flag_device():
     rng = np.random.default_rng(10)
     scores = _random_scores(rng, 2000, segment_scale=90)
