@@ -134,6 +134,9 @@ class TrainConfig:
     valid_fraction: float = 0.25      # 75/25 split (supervised_training.py:72-73)
     seed: int = 0
     checkpoint_every_n: int = 0       # 0 = save at end only (reference behavior)
+    remat: bool = False               # jax.checkpoint the conv forward:
+    #   recompute activations in the backward pass, trading FLOPs for HBM —
+    #   irrelevant at this model's size, the standard lever if it grows
 
 
 @dataclasses.dataclass

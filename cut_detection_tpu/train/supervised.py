@@ -92,9 +92,16 @@ def make_train_step(cfg: TrainConfig, optimizer=None):
     )
     optimizer = optimizer or make_optimizer(cfg)
 
+    def _conv_forward(conv_p, conv_s, x):
+        return apply_frame_conv(conv_p, conv_s, x, conv_cfg, train=True)
+
+    if cfg.remat:
+        # Rematerialize conv activations in the backward pass (trade FLOPs
+        # for HBM residency) — a no-op for correctness.
+        _conv_forward = jax.checkpoint(_conv_forward)
+
     def loss_fn(params, bn_state, x, y):
-        feats, conv_s = apply_frame_conv(params["conv"], bn_state["conv"], x,
-                                         conv_cfg, train=True)
+        feats, conv_s = _conv_forward(params["conv"], bn_state["conv"], x)
         logits, lin_s = apply_frame_linear(params["linear"],
                                            bn_state["linear"], feats,
                                            lin_cfg, train=True)
@@ -166,14 +173,16 @@ def jit_steps(cfg: TrainConfig, mesh=None, optimizer=None):
     step, cfgs = make_train_step(cfg, optimizer)
     eval_step = make_eval_step(cfg)
     if mesh is None:
-        return jax.jit(step), jax.jit(eval_step), cfgs
+        # Donate the state: each step's input buffers are dead afterwards,
+        # so XLA reuses them in place (halves train-state HBM residency).
+        return (jax.jit(step, donate_argnums=(0,)), jax.jit(eval_step), cfgs)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     train = jax.jit(step, in_shardings=(repl, data, data),
-                    out_shardings=(repl, repl))
+                    out_shardings=(repl, repl), donate_argnums=(0,))
     evl = jax.jit(eval_step, in_shardings=(repl, data, data),
                   out_shardings=repl)
     return train, evl, cfgs

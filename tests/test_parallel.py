@@ -84,14 +84,17 @@ def test_data_parallel_train_step_matches_single_device():
     step_single, _ = make_train_step(cfg)
     step_single = jax.jit(step_single)
 
-    state0 = init_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(2)
     x = rng.integers(0, 255, size=(16, 27, 48, 3), dtype=np.uint8)
     y = rng.integers(0, 3, size=(16,)).astype(np.int64)
 
-    s_sh, m_sh = train_sharded(replicate(mesh, state0),
+    # Separate (identical) states: the sharded step donates its input
+    # buffers, which may alias a shared init.
+    state_a = init_train_state(jax.random.PRNGKey(0), cfg)
+    state_b = init_train_state(jax.random.PRNGKey(0), cfg)
+    s_sh, m_sh = train_sharded(replicate(mesh, state_a),
                                shard_batch(mesh, x), shard_batch(mesh, y))
-    s_1, m_1 = step_single(state0, x, y)
+    s_1, m_1 = step_single(state_b, x, y)
 
     # Global-batch BN + global grad reduction == the single-device step.
     assert float(m_sh["loss"]) == pytest.approx(float(m_1["loss"]), rel=1e-5)

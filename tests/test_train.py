@@ -45,6 +45,48 @@ def test_supervised_step_decreases_loss():
     assert int(state["step"]) == 30
 
 
+def test_remat_matches_plain_training():
+    from cut_detection_tpu.train.supervised import (
+        init_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(7)
+    x, y = _batch(rng)
+    results = []
+    for remat in (False, True):
+        cfg = _tiny_cfg(remat=remat)
+        step, _ = make_train_step(cfg)
+        step = jax.jit(step)
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        for _ in range(3):
+            state, m = step(state, x, y)
+        results.append((float(m["loss"]),
+                        jax.tree_util.tree_leaves(state["params"])))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_donated_jit_steps_run():
+    """jit_steps donates the state buffer; the loop pattern must still work."""
+    from cut_detection_tpu.train.supervised import (
+        init_train_state,
+        jit_steps,
+    )
+
+    cfg = _tiny_cfg()
+    train_step, eval_step, _ = jit_steps(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(8)
+    x, y = _batch(rng)
+    for _ in range(3):
+        state, m = train_step(state, x, y)
+    assert np.isfinite(float(m["loss"]))
+    em = eval_step(state, x, y)
+    assert int(np.asarray(em["total"]).sum()) == 16
+
+
 def test_eval_step_per_class_counts():
     from cut_detection_tpu.train.supervised import (
         init_train_state,
