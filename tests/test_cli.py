@@ -111,6 +111,16 @@ def test_segment_videos_cli(synthetic_video, tmp_path, monkeypatch):
     with open(outs[0], "rb") as f0, open(outs[1], "rb") as f1:
         assert f0.read() == f1.read()
 
+    import jax
+
+    if len(jax.devices()) >= 8:
+        # Mesh-sharded variant must produce the identical CSVs.
+        c = str(tmp_path / "c.mp4")
+        shutil.copy(synthetic_video, c)
+        outs_dp = main([c, "--batch-size", "64", "--data-parallel"])
+        with open(outs[0], "rb") as f0, open(outs_dp[0], "rb") as f1:
+            assert f0.read() == f1.read()
+
 
 def test_labelling_storage(tmp_path):
     from cut_detection_tpu.cli.labelling import get_labels, write_label
