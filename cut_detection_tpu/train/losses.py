@@ -55,3 +55,27 @@ def ntxent_loss(x, *, temperature: float = 1.0, h_norm: bool = True):
     loss_a = ce_mean(jnp.concatenate([logits_ab, logits_aa], axis=-1), labels)
     loss_b = ce_mean(jnp.concatenate([logits_ba, logits_bb], axis=-1), labels)
     return loss_a + loss_b, logits_ab, labels
+
+
+class ContrastiveLoss:
+    """Drop-in class facade over ``ntxent_loss`` (frameID/metrics.py:8-47 API).
+
+    The reference sizes its label/mask buffers to a fixed batch
+    (metrics.py:20-21); here shapes are derived from the input, so
+    ``batch_size`` is only validated, not baked in.
+    """
+
+    def __init__(self, batch_size: int = 32, h_norm: bool = True,
+                 temperature: float = 1.0):
+        self.batch_size = batch_size
+        self.h_norm = h_norm
+        self.temperature = temperature
+
+    def __call__(self, x):
+        if x.shape[0] != 2 * self.batch_size:
+            raise ValueError(
+                f"expected 2*batch_size={2 * self.batch_size} rows, got "
+                f"{x.shape[0]} (the reference requires drop_last batches, "
+                "learn_contrasts.py:59-61)")
+        return ntxent_loss(x, temperature=self.temperature,
+                           h_norm=self.h_norm)

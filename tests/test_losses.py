@@ -35,6 +35,21 @@ def test_ntxent_matches_reference(torch, h_norm):
 
 
 @reference_available
+def test_contrastive_loss_class_facade(torch):
+    from cut_detection_tpu.train.losses import ContrastiveLoss
+
+    metrics = import_reference("frameID.metrics")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((32, 16)).astype(np.float32)
+    ref_loss, _, _ = metrics.ContrastiveLoss(batch_size=16)(
+        torch.from_numpy(x))
+    loss, logits, labels = ContrastiveLoss(batch_size=16)(x)
+    assert abs(float(loss) - ref_loss.item()) < 1e-4
+    with pytest.raises(ValueError):
+        ContrastiveLoss(batch_size=8)(x)
+
+
+@reference_available
 def test_ntxent_temperature(torch):
     metrics = import_reference("frameID.metrics")
     rng = np.random.default_rng(2)
