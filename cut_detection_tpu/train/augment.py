@@ -90,6 +90,18 @@ def _gather_bilinear(img, ys, xs):
     return top * (1 - fy) + bot * fy
 
 
+def affine_transform(img, angle_rad, translate_xy, scale,
+                     *, interp: str = "nearest"):
+    """Deterministic single-image affine (rotation about center, scale,
+    translation; zero fill).  The sampling primitive under
+    ``random_affine`` — exposed for direct geometric testing."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = _sample_affine_grid(h, w, angle_rad, translate_xy, scale)
+    if interp == "nearest":
+        return _gather_nearest(img, ys, xs)
+    return _gather_bilinear(img, ys, xs)
+
+
 def random_affine(key, x, *, degrees: float = 15.0,
                   translate: tuple[float, float] = (0.2, 0.2),
                   scale: tuple[float, float] = (1.0, 1.4)):
@@ -103,8 +115,7 @@ def random_affine(key, x, *, degrees: float = 15.0,
     scales = jax.random.uniform(k4, (b,), minval=scale[0], maxval=scale[1])
 
     def one(img, angle, txi, tyi, sc):
-        ys, xs = _sample_affine_grid(h, w, angle, (txi, tyi), sc)
-        return _gather_nearest(img, ys, xs)
+        return affine_transform(img, angle, (txi, tyi), sc)
 
     return jax.vmap(one)(x, angles, tx, ty, scales)
 

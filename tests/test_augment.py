@@ -1,6 +1,7 @@
 """On-device augmentation behavior tests (train/augment.py)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,38 @@ def test_random_affine_identity_params():
     out = random_affine(jax.random.PRNGKey(0), x, degrees=0.0,
                         translate=(0.0, 0.0), scale=(1.0, 1.0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_affine_transform_integer_translation():
+    from cut_detection_tpu.train.augment import affine_transform
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((16, 20, 3), dtype=np.float32))
+    # Shift content right by 4 pixels: out[y, x] = in[y, x-4].
+    out = np.asarray(affine_transform(img, 0.0, (4.0, 0.0), 1.0))
+    np.testing.assert_allclose(out[:, 4:], np.asarray(img)[:, :-4], atol=1e-6)
+    np.testing.assert_allclose(out[:, :4], 0.0)  # zero fill
+
+
+def test_affine_transform_180_rotation():
+    from cut_detection_tpu.train.augment import affine_transform
+
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.random((15, 21, 3), dtype=np.float32))
+    out = np.asarray(affine_transform(img, np.pi, (0.0, 0.0), 1.0))
+    # 180-degree rotation about the center == flip both spatial axes
+    # (odd dims keep the center pixel fixed).
+    np.testing.assert_allclose(out, np.asarray(img)[::-1, ::-1], atol=1e-5)
+
+
+def test_affine_transform_scale_zoom():
+    from cut_detection_tpu.train.augment import affine_transform
+
+    # Zoom x2 on a centered bright square: the square's extent doubles.
+    img = np.zeros((20, 20, 1), np.float32)
+    img[8:12, 8:12] = 1.0
+    out = np.asarray(affine_transform(jnp.asarray(img), 0.0, (0.0, 0.0), 2.0))
+    assert out.sum() == pytest.approx(4 * img.sum(), rel=0.3)
 
 
 def test_color_jitter_range_and_variation():
