@@ -26,6 +26,35 @@ def _random_scores(rng, n, segment_scale):
 
 
 @reference_available
+def test_quantized_tie_stress(torch):
+    """Heavily quantized logits create EXACT segment-mean ties — the
+    harshest test of the argmin/first-match tie-breaking assumptions vs
+    the reference's argsort-then-first."""
+    seg_mod = import_reference("frameID.segmentation")
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        n = 3000
+        labels = []
+        while sum(len(s) for s in labels) < n:
+            labels.append(np.full(int(rng.integers(1, 60)),
+                                  rng.integers(0, 3)))
+        lab = np.concatenate(labels)[:n]
+        scores = (rng.integers(0, 8, size=(n, 3)) / 4.0).astype(np.float32)
+        scores[np.arange(n), lab] += 2.0
+        ours = Segmentation(scores)
+        ref = seg_mod.Segmentation(torch.from_numpy(scores))
+        ours.glue_orphans(100, 10)
+        ref.glue_orphans(100, 10)
+        ours.combine_adjacent_segments()
+        ref.combine_adjacent_segments()
+        assert len(ours) == len(ref.te["start_frames"]), f"seed {seed}"
+        np.testing.assert_array_equal(ours.te["start_frames"],
+                                      ref.te["start_frames"].numpy())
+        np.testing.assert_array_equal(ours.te["frame_types"],
+                                      ref.te["frame_types"].numpy())
+
+
+@reference_available
 def test_stress_sweep(torch):
     seg_mod = import_reference("frameID.segmentation")
     failures = []
