@@ -107,7 +107,9 @@ def main() -> None:
     # Batch 128 measured fastest on the v5e (70.6k vs 60.6k at 256 — see
     # docs/PERFORMANCE.md) and matches the CLI's default batch size.
     batch = int(os.environ.get("BENCH_BATCH", 128))
-    steps = int(os.environ.get("BENCH_STEPS", 64))
+    # Enough device-resident iterations per call that the host round-trip
+    # is amortized below the noise floor.
+    steps = int(os.environ.get("BENCH_STEPS", 512))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
     # bfloat16_full is the perf mode (bf16 operands + activations, f32 MXU
     # accumulation); CSV output matches the reference on every fixture.
