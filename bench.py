@@ -48,11 +48,23 @@ def bench_ours(batch: int, steps: int, min_seconds: float) -> float:
     frames = rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8)
     frames = jax.device_put(frames)
 
+    # Match the pipeline's shipped graph: the bf16 perf modes fold the
+    # flip+/255 preprocess into conv1's weights (assembly.fold_preprocess).
+    fold = net.compute_dtype is not None
+    if fold:
+        from cut_detection_tpu.models.assembly import fold_preprocess
+
+        bundle0 = jax.tree_util.tree_map(jnp.asarray,
+                                         fold_preprocess(net.bundle))
+    else:
+        bundle0 = net.bundle
+
     @jax.jit
     def run(bundle, frames_u8, k):
         def body(i, acc):
             # Iteration-dependent input so XLA can't hoist or dedupe.
-            xx = normalize_frames(frames_u8 + i.astype(jnp.uint8))
+            x = frames_u8 + i.astype(jnp.uint8)
+            xx = x.astype(jnp.float32) if fold else normalize_frames(x)
             logits = _glued_apply(bundle, xx,
                                   conv_cfg=net.conv_cfg,
                                   linear_cfg=net.linear_cfg,
@@ -62,12 +74,12 @@ def bench_ours(batch: int, steps: int, min_seconds: float) -> float:
 
     # Warmup / compile.  NOTE: fetch the value — through the axon relay,
     # block_until_ready alone does not guarantee execution finished.
-    float(run(net.bundle, frames, 1))
+    float(run(bundle0, frames, 1))
 
     n = 0
     t0 = time.perf_counter()
     while True:
-        float(run(net.bundle, frames, steps))
+        float(run(bundle0, frames, steps))
         n += steps * batch
         if time.perf_counter() - t0 >= min_seconds:
             break

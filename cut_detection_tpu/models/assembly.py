@@ -96,6 +96,25 @@ def _glued_apply(bundle, x, *, conv_cfg: ConvNetConfig,
     return logits
 
 
+def fold_preprocess(bundle):
+    """Fold the BGR->RGB flip and /255 normalize into conv layer 1.
+
+    ``conv(flip(x) / 255, W) == conv(x, W[:, :, ::-1, :] / 255)`` — with
+    the fold, raw uint8 BGR pixels (cast to float) feed the conv directly
+    and the whole preprocess pass disappears (measured +14% classify
+    throughput, docs/PERFORMANCE.md).  The /255-scaled weights round
+    differently at the ulp level, so the perf (bf16) paths use this, not
+    the strict-parity float32 mode.
+    """
+    layer0 = dict(bundle["conv"]["params"][0])
+    layer0["kernel"] = layer0["kernel"][:, :, ::-1, :] / 255.0
+    conv_params = [layer0] + list(bundle["conv"]["params"][1:])
+    return {
+        "conv": {"params": conv_params, "state": bundle["conv"]["state"]},
+        "linear": bundle["linear"],
+    }
+
+
 def load_and_glue_nets(param_file: str, conv_file: str, linear_file: str,
                        precision: str = "float32"):
     """Load a checkpoint triplet and return ``(net, model_params_dict)``.

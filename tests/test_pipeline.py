@@ -100,6 +100,17 @@ def test_score_cache_roundtrip(synthetic_video, tmp_path):
     assert stats.batches == 0  # served from cache
 
 
+def test_bf16_full_folded_pipeline_matches_f32(synthetic_video, tmp_path):
+    """The perf mode (bf16_full + preprocess folded into conv1 weights)
+    must produce the same CSV as strict float32 on the fixtures."""
+    a = str(tmp_path / "bf16full.csv")
+    b = str(tmp_path / "f32.csv")
+    segment_video_file(synthetic_video, a, batch_size=64,
+                       precision="bfloat16_full", print_every=0)
+    segment_video_file(synthetic_video, b, batch_size=64, print_every=0)
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
 def test_device_glue_pipeline_matches_host(synthetic_video, tmp_path):
     a = str(tmp_path / "device.csv")
     b = str(tmp_path / "host.csv")
