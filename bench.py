@@ -3,9 +3,10 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": R}
 
-- ours: the jit'd device step (uint8 NHWC batch -> normalize -> CNN ->
-  per-frame max/argmax) on whatever accelerator JAX provides (the TPU chip
-  under axon), batch 512, steady-state over ~30 batches after warmup.
+- ours: the shipped classify graph (uint8 NHWC batch -> CNN with the
+  preprocess folded into conv1 for the bf16 perf modes -> per-frame
+  max/argmax) on whatever accelerator JAX provides (the TPU chip under
+  axon), measured as a device-resident loop at the optimal batch.
 - baseline: the PyTorch reference prod net (frameID/net.py via
   /root/reference) on CPU, same 256x144 input contract, measured over a few
   batches.  The reference publishes no numbers (BASELINE.md), so the

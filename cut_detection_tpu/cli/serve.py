@@ -35,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("Serve the segmentation pipeline over HTTP.")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
-    p.add_argument("--precision", choices=["float32", "bfloat16"],
+    p.add_argument("--precision",
+                   choices=["float32", "bfloat16", "bfloat16_full"],
                    default="float32")
     p.add_argument("--cpu", action="store_true")
     return p
