@@ -193,8 +193,15 @@ class ParallelVideoReader:
     def __init__(self, file_path: str, resize: int | None = None,
                  num_threads: int = 4, chunk_frames: int = 256,
                  max_pending_chunks: int | None = None,
-                 backend: str = "cv2"):
+                 backend: str = "cv2", verify_seek: bool = True):
         self.backend = backend
+        # Seek-integrity guard: chunks overlap by one frame and the
+        # boundary frame is byte-compared against the previous chunk's
+        # last frame.  Catches codecs with inexact keyframe seeking
+        # (e.g. open-GOP H.264) that would silently corrupt the stream;
+        # costs one extra decoded frame per chunk (<0.5%).
+        self.verify_seek = verify_seek
+        self.seek_mismatches = 0
         self.file_path = file_path
         self.resize = resize
         if backend == "native":
@@ -247,11 +254,16 @@ class ParallelVideoReader:
                     break
                 start = chunk * self.chunk_frames
                 end = min(start + self.chunk_frames, self.length)
-                if pos != start:
-                    dec.seek(start)
+                # Overlap by one frame for the boundary check.
+                check = self.verify_seek and chunk > 0
+                read_from = start - 1 if check else start
+                if pos != read_from:
+                    dec.seek(read_from)
+                    pos = read_from
+                boundary = None
                 frames = []
                 ok = True
-                for _ in range(end - start):
+                for i in range(end - read_from):
                     frame = dec.read()
                     if frame is None:
                         ok = False
@@ -259,9 +271,12 @@ class ParallelVideoReader:
                     if self.new_width is not None:
                         frame = _host_resize(frame, self.new_width,
                                              self.new_height)
-                    frames.append(frame)
-                pos = start + len(frames)
-                self._results.put((chunk, frames, ok))
+                    if check and i == 0:
+                        boundary = frame
+                    else:
+                        frames.append(frame)
+                pos = end if ok else -1
+                self._results.put((chunk, boundary, frames, ok))
         finally:
             dec.close()
 
@@ -271,15 +286,26 @@ class ParallelVideoReader:
                                   name=f"decode-{t}")
             th.start()
             self._threads.append(th)
-        pending: dict[int, tuple[list, bool]] = {}
+        pending: dict[int, tuple] = {}
         emit = 0
         truncated = False
+        prev_last = None
         try:
             while emit < self.num_chunks and not truncated:
                 while emit not in pending:
-                    chunk, frames, ok = self._results.get()
-                    pending[chunk] = (frames, ok)
-                frames, ok = pending.pop(emit)
+                    chunk, boundary, frames, ok = self._results.get()
+                    pending[chunk] = (boundary, frames, ok)
+                boundary, frames, ok = pending.pop(emit)
+                if boundary is not None and prev_last is not None:
+                    if not np.array_equal(boundary, prev_last):
+                        self.seek_mismatches += 1
+                        logger.warning(
+                            "Seek-inexact decode at chunk %d: boundary frame "
+                            "differs after keyframe seek (codec with open "
+                            "GOPs?). Use num_threads=1 for bit-exact "
+                            "sequential decode.", emit)
+                if frames:
+                    prev_last = frames[-1]
                 yield from frames
                 if not ok:
                     # Mirror the reference's truncation-on-failure, loudly.

@@ -81,8 +81,26 @@ def test_parallel_decode_matches_sequential(synthetic_video):
     )
 
     seq = list(VideoFrameSource(synthetic_video, resize=256))
+    reader = ParallelVideoReader(synthetic_video, resize=256,
+                                 num_threads=4, chunk_frames=37)
+    par = list(reader)
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a, b)
+    # The seek-integrity guard saw clean boundaries on an exact-seek codec.
+    assert reader.seek_mismatches == 0
+
+
+def test_parallel_decode_no_verify(synthetic_video):
+    from cut_detection_tpu.data.video import (
+        ParallelVideoReader,
+        VideoFrameSource,
+    )
+
+    seq = list(VideoFrameSource(synthetic_video, resize=256))
     par = list(ParallelVideoReader(synthetic_video, resize=256,
-                                   num_threads=4, chunk_frames=37))
+                                   num_threads=3, chunk_frames=41,
+                                   verify_seek=False))
     assert len(seq) == len(par)
     for a, b in zip(seq, par):
         np.testing.assert_array_equal(a, b)
