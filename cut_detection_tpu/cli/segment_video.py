@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Use the fused Pallas resize+normalize kernel "
                         "(float bilinear fast path, implies on-device "
                         "preprocessing).")
+    p.add_argument("--model-dir", type=str, default=None,
+                   help="Load a trained model triplet from this directory "
+                        "instead of the bundled prod classifier.")
+    p.add_argument("--model-name", type=str, default="init_model",
+                   help="Triplet name prefix within --model-dir.")
     p.add_argument("--device-glue", action="store_true",
                    help="Run the orphan-glue/merge smoother on the "
                         "accelerator as one compiled program instead of "
@@ -98,10 +103,31 @@ def main(args=None) -> str:
     from cut_detection_tpu.pipeline import segment_video_file
     from cut_detection_tpu.utils.profiling import maybe_trace
 
+    net = None
+    if ns.model_dir:
+        import os
+
+        from cut_detection_tpu.models.assembly import load_and_glue_nets
+
+        def _p(suffix, alt):
+            path = os.path.join(ns.model_dir, f"{ns.model_name}{suffix}")
+            return path if os.path.isfile(path) else os.path.join(
+                ns.model_dir, f"{ns.model_name}{alt}")
+
+        net, _ = load_and_glue_nets(
+            os.path.join(ns.model_dir, f"{ns.model_name}_model_params.json"),
+            _p("_classifier_conv.npz", "_classifier_conv.pt"),
+            _p("_classifier_linear.npz", "_classifier_linear.pt"),
+            precision=ns.precision,
+        )
+        logging.info("Loaded model triplet %s from %s", ns.model_name,
+                     ns.model_dir)
+
     with maybe_trace(ns.profile):
         out_path, _, _ = segment_video_file(
             ns.input_path,
             ns.output_path,
+            net=net,
             base_threshold=ns.base_threshold,
             blank_threshold=ns.blank_threshold,
             batch_size=ns.batch_size,

@@ -1,0 +1,87 @@
+"""Full lifecycle integration: train -> save triplet -> segment a video.
+
+The reference's training and inference scripts only connect through the
+hand-copied prod_net checkpoint; here the whole loop runs in one test:
+a classifier trained from scratch on synthetic frames is saved in the
+triplet contract and drives the segment_video CLI end to end.
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def trained_model_dir(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("lifecycle")
+    data = root / "frames"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    # 90 frames: three visually distinct classes.
+    colors = {(0, "a22"): (40, 160, 40), (1, "ez"): (160, 40, 40),
+              (2, "b"): (10, 10, 10)}
+    rows = []
+    i = 0
+    for (cid, name), color in colors.items():
+        rows.append((i, name))
+        for _ in range(30):
+            # Train at the inference resolution (video resized to 256x144).
+            img = np.full((144, 256, 3), color, np.uint8)
+            img = cv2.add(img, rng.integers(0, 25, (144, 256, 3)).astype(np.uint8))
+            cv2.imwrite(str(data / f"frame_{i:07}.jpg"), img)
+            i += 1
+    with open(data / "frames.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        for r in rows:
+            w.writerow(r)
+
+    from cut_detection_tpu.cli.train_supervised import main as train_main
+
+    model_dir = root / "models"
+    train_main(["--data-dirs", str(data), "--conv-hidden-channels", "8",
+                "--conv-layers", "2", "--avg-pool-size", "2",
+                "--linear-size", "8", "--batch-size", "16", "--epochs", "30",
+                "--learning-rate", "3e-3", "--write-every-n", "100",
+                "--model-dir", str(model_dir), "--checkpoint-every-n", "0",
+                "--num-workers", "0"])
+    return str(model_dir), colors
+
+
+def test_trained_triplet_segments_video(trained_model_dir, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    model_dir, colors = trained_model_dir
+
+    # A video alternating the three learned classes in long blocks.
+    video = str(tmp_path / "v.mp4")
+    wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 30, (640, 360))
+    rng = np.random.default_rng(1)
+    order = [(40, "a22"), (40, "b"), (40, "ez")]
+    by_name = {name: c for (cid, name), c in colors.items()}
+    for n, name in order:
+        # Video frames are BGR; training images were written via imwrite
+        # (also BGR), so use the same raw color tuples.
+        base = np.full((360, 640, 3), by_name[name], np.uint8)
+        for _ in range(n):
+            wr.write(cv2.add(base, rng.integers(0, 25, (360, 640, 3)).astype(np.uint8)))
+    wr.release()
+
+    from cut_detection_tpu.cli.segment_video import main as sv_main
+
+    out = str(tmp_path / "segs.csv")
+    sv_main([video, "--output_path", out, "--model-dir", model_dir,
+             "--batch-size", "32", "--base-threshold", "10",
+             "--blank-threshold", "5", "--print-every", "0", "--cpu"])
+
+    with open(out, newline="") as f:
+        segs = [(int(r[0]), r[1]) for r in csv.reader(f)]
+    # The trained model must recover the three blocks (allow boundary
+    # wobble of a few frames, but the structure must be exact).
+    assert [lab for _, lab in segs] == ["a22", "b", "ez"]
+    assert segs[0][0] == 0
+    assert abs(segs[1][0] - 40) <= 5
+    assert abs(segs[2][0] - 80) <= 5
