@@ -105,21 +105,10 @@ def main(args=None) -> str:
 
     net = None
     if ns.model_dir:
-        import os
+        from cut_detection_tpu.models.assembly import load_triplet_or_default
 
-        from cut_detection_tpu.models.assembly import load_and_glue_nets
-
-        def _p(suffix, alt):
-            path = os.path.join(ns.model_dir, f"{ns.model_name}{suffix}")
-            return path if os.path.isfile(path) else os.path.join(
-                ns.model_dir, f"{ns.model_name}{alt}")
-
-        net, _ = load_and_glue_nets(
-            os.path.join(ns.model_dir, f"{ns.model_name}_model_params.json"),
-            _p("_classifier_conv.npz", "_classifier_conv.pt"),
-            _p("_classifier_linear.npz", "_classifier_linear.pt"),
-            precision=ns.precision,
-        )
+        net, _ = load_triplet_or_default(ns.model_dir, ns.model_name,
+                                         precision=ns.precision)
         logging.info("Loaded model triplet %s from %s", ns.model_name,
                      ns.model_dir)
 

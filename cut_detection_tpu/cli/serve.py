@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision",
                    choices=["float32", "bfloat16", "bfloat16_full"],
                    default="float32")
+    p.add_argument("--model-dir", type=str, default=None,
+                   help="Serve a trained triplet instead of the bundled "
+                        "prod classifier.")
+    p.add_argument("--model-name", type=str, default="init_model")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -128,13 +132,16 @@ def _make_handler(state: _State):
     return Handler
 
 
-def make_server(host: str, port: int, precision: str = "float32"):
+def make_server(host: str, port: int, precision: str = "float32",
+                model_dir: str | None = None,
+                model_name: str = "init_model"):
     """Build (server, state) with the model preloaded."""
-    from cut_detection_tpu.models.assembly import load_default_net
+    from cut_detection_tpu.models.assembly import load_triplet_or_default
 
     state = _State()
     state.precision = precision
-    state.net, _ = load_default_net(precision=precision)
+    state.net, _ = load_triplet_or_default(model_dir, model_name,
+                                           precision=precision)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     return server, state
 
@@ -155,7 +162,8 @@ def main(args=None) -> None:
         force_cpu()
     logging.info("Using %s", jax.devices()[0].platform)
 
-    server, _ = make_server(ns.host, ns.port, ns.precision)
+    server, _ = make_server(ns.host, ns.port, ns.precision,
+                            model_dir=ns.model_dir, model_name=ns.model_name)
     logging.info("Serving on %s:%d", ns.host, ns.port)
     try:
         server.serve_forever()

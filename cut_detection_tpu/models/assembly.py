@@ -139,6 +139,27 @@ def load_and_glue_nets(param_file: str, conv_file: str, linear_file: str,
     return net, model_params.to_dict()
 
 
+def load_triplet_or_default(model_dir: str | None = None,
+                            model_name: str = "init_model",
+                            precision: str = "float32"):
+    """Load a saved triplet from ``model_dir`` (npz preferred, torch .pt
+    accepted), or the bundled prod classifier when no dir is given."""
+    if not model_dir:
+        return load_default_net(precision=precision)
+
+    def pick(suffix: str, alt: str) -> str:
+        path = os.path.join(model_dir, f"{model_name}{suffix}")
+        return path if os.path.isfile(path) else os.path.join(
+            model_dir, f"{model_name}{alt}")
+
+    return load_and_glue_nets(
+        os.path.join(model_dir, f"{model_name}_model_params.json"),
+        pick("_classifier_conv.npz", "_classifier_conv.pt"),
+        pick("_classifier_linear.npz", "_classifier_linear.pt"),
+        precision=precision,
+    )
+
+
 def load_default_net(precision: str = "float32"):
     """Load the bundled prod classifier (frameID/net.py:221-233 analog).
 
