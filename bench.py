@@ -25,7 +25,8 @@ import time
 import numpy as np
 
 
-def bench_ours(batch: int, steps: int, min_seconds: float) -> float:
+def bench_ours(batch: int, steps: int, min_seconds: float,
+               precision: str | None = None) -> float:
     """Steady-state device throughput via an on-device fori_loop.
 
     The loop body perturbs the input with the iteration index (uint8 add)
@@ -43,7 +44,8 @@ def bench_ours(batch: int, steps: int, min_seconds: float) -> float:
     from cut_detection_tpu.models.assembly import _glued_apply, load_default_net
     from cut_detection_tpu.ops.preprocess import normalize_frames
 
-    precision = os.environ.get("BENCH_PRECISION", "bfloat16_full")
+    if precision is None:
+        precision = os.environ.get("BENCH_PRECISION", "bfloat16_full")
     net, _ = load_default_net(precision=precision)
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8)

@@ -62,36 +62,20 @@ def bench_decode(path: str, workers: int, limit: int) -> list[dict]:
 
 
 def bench_classify(batch: int, precision: str, seconds: float = 8.0) -> dict:
-    import jax
-    import jax.numpy as jnp
+    """Device-resident classify loop, shipping the same graph bench.py
+    measures (preprocess folded into conv1 for the bf16 modes)."""
+    import os
+    import sys
 
-    from cut_detection_tpu.models.assembly import _glued_apply, load_default_net
-    from cut_detection_tpu.ops.preprocess import normalize_frames
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import bench as root_bench
 
-    net, _ = load_default_net(precision=precision)
-    rng = np.random.default_rng(0)
-    frames = jax.device_put(
-        rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8))
-
-    @jax.jit
-    def run(bundle, frames_u8, k):
-        def body(i, acc):
-            xx = normalize_frames(frames_u8 + i.astype(jnp.uint8))
-            logits = _glued_apply(bundle, xx, conv_cfg=net.conv_cfg,
-                                  linear_cfg=net.linear_cfg,
-                                  compute_dtype=net.compute_dtype)
-            return acc + jnp.sum(logits)
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
-
-    float(run(net.bundle, frames, 1))  # compile (value fetch = real sync)
-    n = 0
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < seconds:
-        float(run(net.bundle, frames, 32))
-        n += 32 * batch
+    fps = root_bench.bench_ours(batch, 128, seconds, precision=precision)
     return {"metric": f"classify_device ({precision})",
-            "value": round(n / (time.perf_counter() - t0), 1),
-            "unit": "frames/sec"}
+            "value": round(fps, 1), "unit": "frames/sec"}
 
 
 def bench_e2e(path: str, workers: int, batch: int, limit: int,

@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard frame batches across all local devices.")
+    p.add_argument("--model-dir", type=str, default=None,
+                   help="Use a trained triplet instead of the bundled "
+                        "prod classifier.")
+    p.add_argument("--model-name", type=str, default="init_model")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -56,8 +60,16 @@ def main(args=None) -> list[str]:
 
     from cut_detection_tpu.pipeline import segment_many
 
+    net = None
+    if ns.model_dir:
+        from cut_detection_tpu.models.assembly import load_triplet_or_default
+
+        net, _ = load_triplet_or_default(ns.model_dir, ns.model_name,
+                                         precision=ns.precision)
+
     results = segment_many(
         ns.input_paths,
+        net=net,
         base_threshold=ns.base_threshold,
         blank_threshold=ns.blank_threshold,
         batch_size=ns.batch_size,

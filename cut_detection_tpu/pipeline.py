@@ -324,6 +324,7 @@ def segment_many(
     *,
     mesh=None,
     precision: str = "float32",
+    net: GluedNet | None = None,
     **kwargs,
 ) -> list[tuple[str, Segmentation, PipelineStats]]:
     """Segment several videos with ONE loaded model and one compiled step.
@@ -335,7 +336,8 @@ def segment_many(
     parallelism over the frame axis — SURVEY.md §2.3; the classify step is
     jitted with P('data') batch sharding and replicated params).
     """
-    net, _ = load_default_net(precision=precision)
+    if net is None:
+        net, _ = load_default_net(precision=precision)
     results = []
     for i, path in enumerate(input_paths):
         out = output_paths[i] if output_paths else None
