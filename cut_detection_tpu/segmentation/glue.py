@@ -86,7 +86,11 @@ def glue_orphans(te: dict, real_threshold: int = 100,
     while True:
         mask = find_orphans(te["frame_types"], te["run_lengths"],
                             real_threshold, blank_threshold)
-        if not mask.any():
+        # Stop when clean — or when a single row survives: the reference
+        # would raise here (its first-element branch indexes row 1,
+        # segmentation.py:110-113); a lone all-orphan segment has nothing
+        # to merge into.  The native and device paths guard identically.
+        if not mask.any() or te["start_frames"].shape[0] <= 1:
             break
         orphan_indices = np.nonzero(mask)[0]
         # Least confident first; np.argmin takes the first minimum, which
