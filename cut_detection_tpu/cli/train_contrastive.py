@@ -83,7 +83,11 @@ def main(args=None) -> None:
     result = train_contrastive(cfg, ds, mesh=mesh,
                                num_workers=ns.num_workers)
 
-    # Save conv + projection head (learn_contrasts.py:131-132 contract).
+    # Save conv + projection head (learn_contrasts.py:131-132 contract),
+    # plus the params sidecar the reference never wrote — it makes the
+    # embedding model loadable (models.assembly.load_embedding_net).
+    import json
+
     os.makedirs(cfg.model_dir, exist_ok=True)
     state = jax.device_get(result["state"])
     save_bundle(os.path.join(cfg.model_dir, f"{cfg.model_name}_conv.npz"),
@@ -92,6 +96,16 @@ def main(args=None) -> None:
     save_bundle(os.path.join(cfg.model_dir, f"{cfg.model_name}_linear.npz"),
                 {"params": state["params"]["linear"],
                  "state": state["bn_state"]["linear"]})
+    with open(os.path.join(cfg.model_dir,
+                           f"{cfg.model_name}_embed_params.json"), "w") as f:
+        json.dump({
+            "conv_layers": cfg.conv_layers,
+            "conv_channels": cfg.conv_hidden_channels,
+            "avg_pool_size": 1,          # learn_contrasts.py:68-70
+            "linear_layers": cfg.linear_layers,
+            "linear_size": cfg.linear_size,
+            "linear_output_size": cfg.output_size,
+        }, f)
     logging.info("Saved conv + projection head to %s", cfg.model_dir)
 
 

@@ -160,6 +160,25 @@ def load_triplet_or_default(model_dir: str | None = None,
     )
 
 
+def load_embedding_net(model_dir: str, model_name: str = "init_model",
+                       precision: str = "float32"):
+    """Load a contrastive (conv + projection head) pair for batched
+    embedding inference — BASELINE.md config #3.
+
+    Reads the ``{name}_conv.npz`` / ``{name}_linear.npz`` pair written by
+    cli/train_contrastive.py with its ``{name}_embed_params.json``
+    sidecar.  Returns ``(net, params_dict)``; ``net(x)`` maps NHWC float
+    frames to projection-space embeddings.
+    """
+    params_file = os.path.join(model_dir, f"{model_name}_embed_params.json")
+    model_params = ModelParams.from_json(params_file)
+    conv = load_bundle(os.path.join(model_dir, f"{model_name}_conv.npz"))
+    linear = load_bundle(os.path.join(model_dir, f"{model_name}_linear.npz"))
+    net = GluedNet({"conv": conv, "linear": linear}, model_params,
+                   precision=precision)
+    return net, model_params.to_dict()
+
+
 def load_default_net(precision: str = "float32"):
     """Load the bundled prod classifier (frameID/net.py:221-233 analog).
 

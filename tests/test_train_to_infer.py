@@ -52,6 +52,32 @@ def trained_model_dir(tmp_path_factory):
     return str(model_dir), colors
 
 
+def test_contrastive_embedding_lifecycle(trained_model_dir, tmp_path):
+    """Contrastive pretrain -> saved pair + sidecar -> batched embedding
+    inference (BASELINE.md config #3)."""
+    model_dir, _ = trained_model_dir
+    data_dir = os.path.join(os.path.dirname(model_dir), "frames")
+
+    from cut_detection_tpu.cli.train_contrastive import main as tc_main
+
+    emb_dir = str(tmp_path / "emb")
+    tc_main(["--cpu", "--data-dir", data_dir, "--conv-hidden-channels", "8",
+             "--conv-layers", "2", "--linear-size", "8",
+             "--output-size", "4", "--batch-size", "8", "--epochs", "1",
+             "--write-every-n", "100", "--model-dir", emb_dir,
+             "--num-workers", "0"])
+
+    from cut_detection_tpu.models.assembly import load_embedding_net
+
+    net, params = load_embedding_net(emb_dir)
+    assert params["linear_output_size"] == 4
+    rng = np.random.default_rng(0)
+    x = rng.random((6, 72, 96, 3), dtype=np.float32)
+    emb = np.asarray(net(x))
+    assert emb.shape == (6, 4)
+    assert np.isfinite(emb).all()
+
+
 def test_trained_triplet_segments_video(trained_model_dir, tmp_path):
     cv2 = pytest.importorskip("cv2")
     model_dir, colors = trained_model_dir
