@@ -77,6 +77,15 @@ def test_contrastive_embedding_lifecycle(trained_model_dir, tmp_path):
     assert emb.shape == (6, 4)
     assert np.isfinite(emb).all()
 
+    # The embed CLI over the frame directory.
+    from cut_detection_tpu.cli.embed_frames import main as embed_main
+
+    out = str(tmp_path / "emb.npz")
+    embed_main([data_dir, "--model-dir", emb_dir, "--output", out,
+                "--batch-size", "32", "--frame-limit", "50", "--cpu"])
+    with np.load(out) as z:
+        assert z["embeddings"].shape == (50, 4)
+
 
 def test_trained_triplet_segments_video(trained_model_dir, tmp_path):
     cv2 = pytest.importorskip("cv2")
