@@ -19,7 +19,16 @@ setup(
     entry_points={
         "console_scripts": [
             "segment-video=cut_detection_tpu.cli.segment_video:main",
+            "segment-videos=cut_detection_tpu.cli.segment_videos:main",
             "split-video=cut_detection_tpu.cli.split_video:main",
+            "cutdet-train=cut_detection_tpu.cli.train_supervised:main",
+            "cutdet-pretrain=cut_detection_tpu.cli.train_contrastive:main",
+            "cutdet-embed=cut_detection_tpu.cli.embed_frames:main",
+            "cutdet-evaluate=cut_detection_tpu.cli.evaluate:main",
+            "cutdet-export=cut_detection_tpu.cli.export_model:main",
+            "cutdet-serve=cut_detection_tpu.cli.serve:main",
+            "cutdet-label=cut_detection_tpu.cli.labelling:main",
+            "cutdet-bench=cut_detection_tpu.cli.bench_pipeline:main",
         ]
     },
 )
