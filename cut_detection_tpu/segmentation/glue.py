@@ -8,8 +8,11 @@ replicating the reference's semantics exactly:
 
 - Orphan = non-blank segment shorter than ``real_threshold`` OR blank
   (type 2) segment shorter than ``blank_threshold`` (segmentation.py:12-17).
-- Merge the orphan with the lowest score mean first (segmentation.py:103-107;
-  ties resolve to the lowest index, matching argsort-then-take-first).
+- Merge the orphan with the lowest score mean first (segmentation.py:103-107).
+  Ties resolve to the lowest index.  Note: the reference breaks ties with
+  ``torch.argsort(...)[0]`` and torch's sort is *unstable*, so its order on
+  EXACT ties is implementation-defined; for continuous logits exact ties
+  are measure-zero and the two implementations agree (property-tested).
 - First row merges into the next, last row into the previous, interior rows
   into the strictly-longer neighbor with ties going to the next
   (segmentation.py:110-156).

@@ -14,11 +14,11 @@ from cut_detection_tpu.segmentation.rle import Segmentation
 
 
 @st.composite
-def score_arrays(draw, max_frames=400):
+def score_arrays(draw, max_frames=400, allow_ties=True):
     n = draw(st.integers(min_value=1, max_value=max_frames))
     seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
     scale = draw(st.integers(min_value=1, max_value=50))
-    quantized = draw(st.booleans())
+    quantized = allow_ties and draw(st.booleans())
     rng = np.random.default_rng(seed)
     labels = []
     while sum(len(s) for s in labels) < n:
@@ -43,7 +43,7 @@ def _check_partition(te, n):
     assert set(np.unique(te["frame_types"])) <= {0, 1, 2}
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(score_arrays(), st.integers(1, 120), st.integers(1, 40))
 def test_glue_invariants(scores, k1, kb):
     n = scores.shape[0]
@@ -62,9 +62,19 @@ def test_glue_invariants(scores, k1, kb):
 
 
 @reference_available
-@settings(max_examples=25, deadline=None)
-@given(score_arrays(max_frames=250), st.integers(1, 100), st.integers(1, 30))
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(score_arrays(max_frames=250, allow_ties=False),
+       st.integers(1, 100), st.integers(1, 30))
 def test_glue_matches_reference_property(torch, scores, k1, kb):
+    """Parity holds for any tie-free input.
+
+    Inputs with EXACT score-mean ties are excluded: the reference breaks
+    ties with ``torch.argsort(...)[0]`` and torch's sort is unstable, so
+    its merge order on exact ties is implementation-defined (hypothesis
+    found adversarial tie-heavy cases where torch picks a non-first
+    index).  Real logits are continuous, making exact ties measure-zero;
+    see segmentation/glue.py's docstring for the documented caveat.
+    """
     seg_mod = import_reference("frameID.segmentation")
     ours = Segmentation(scores)
     ref = seg_mod.Segmentation(torch.from_numpy(scores))
