@@ -13,7 +13,11 @@ RUN apt-get update && \
       build-essential \
       make \
       python3-opencv \
-      ffmpeg && \
+      ffmpeg \
+      libavcodec-dev \
+      libavformat-dev \
+      libavutil-dev \
+      libswscale-dev && \
     rm -rf /var/lib/apt/lists/* && \
     apt-get -y autoremove
 
