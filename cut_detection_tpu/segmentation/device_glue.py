@@ -71,12 +71,13 @@ def _build_tables(conf, pred, max_segments: int):
     active = jnp.arange(max_segments) < count
     safe_ends = jnp.where(active, ends, 0)
     sums = running[safe_ends]
-    lengths = jnp.where(active, (ends - starts + 1).astype(jnp.int64), 0)
+    # int32 throughout: frame indices are < 2^31 and x64 is disabled.
+    lengths = jnp.where(active, (ends - starts + 1).astype(jnp.int32), 0)
     means = jnp.where(active,
                       sums / jnp.maximum(lengths, 1).astype(jnp.float32), 0.0)
     return {
-        "start": jnp.where(active, starts, 0).astype(jnp.int64),
-        "end": jnp.where(active, ends, 0).astype(jnp.int64),
+        "start": jnp.where(active, starts, 0).astype(jnp.int32),
+        "end": jnp.where(active, ends, 0).astype(jnp.int32),
         "type": jnp.where(active, types, -1),
         "length": lengths,
         "mean": means.astype(jnp.float32),
