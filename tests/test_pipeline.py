@@ -57,6 +57,39 @@ def test_csv_byte_parity_device_resize(synthetic_video, tmp_path):
 
 
 @reference_available
+def test_csv_byte_parity_odd_geometry(tmp_path, torch):
+    """Non-16:9 source (854x480 -> resize height int(480*256/854)=143):
+    odd resized height exercises the truncating height rule and a pool
+    grid that doesn't divide evenly."""
+    import cv2
+
+    video = str(tmp_path / "odd.mp4")
+    w, h = 854, 480
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                             (w, h))
+    rng = np.random.default_rng(11)
+    for n, color in [(70, (50, 130, 50)), (9, (12, 12, 12)),
+                     (80, (140, 60, 60)), (41, (70, 60, 130))]:
+        base = np.full((h, w, 3), color, dtype=np.uint8)
+        for _ in range(n):
+            noise = cv2.resize(
+                rng.integers(0, 25, (h // 6, w // 6, 3)).astype(np.uint8),
+                (w, h), interpolation=cv2.INTER_NEAREST)
+            writer.write(cv2.add(base, noise))
+    writer.release()
+
+    from cut_detection_tpu.ops.resize import reference_resize_dims
+
+    assert reference_resize_dims(w, h, 256) == (256, 143)
+
+    ref_csv = str(tmp_path / "ref.csv")
+    our_csv = str(tmp_path / "ours.csv")
+    _run_reference(video, ref_csv)
+    segment_video_file(video, our_csv, batch_size=64, print_every=0)
+    assert open(ref_csv, "rb").read() == open(our_csv, "rb").read()
+
+
+@reference_available
 def test_frame_limit_semantics(synthetic_video, tmp_path):
     """--frame-limit breaks after the batch that crosses the limit
     (segment_video.py:53-58)."""
