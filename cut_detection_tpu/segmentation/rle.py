@@ -70,6 +70,15 @@ def device_segment_reduce(conf, pred, max_segments: int):
     return num_segments, starts, ends, types, counts.astype(jnp.int64), means
 
 
+def _native_available() -> bool:
+    try:
+        from cut_detection_tpu import native
+
+        return native.available()
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
 def _host_frame_scores(scores: np.ndarray):
     conf = np.max(scores, axis=1).astype(np.float32)
     pred = np.argmax(scores, axis=1).astype(np.int64)
@@ -137,15 +146,36 @@ class Segmentation:
 
     def glue_orphans(self, real_threshold: int = 100,
                      blank_threshold: int = 10, *,
-                     bug_compat: bool = True) -> None:
-        """Merge orphan segments (segmentation.py:91-166 semantics)."""
-        self.te = _glue.glue_orphans(
-            self.te, real_threshold, blank_threshold, bug_compat=bug_compat
-        )
+                     bug_compat: bool = True,
+                     backend: str = "auto") -> None:
+        """Merge orphan segments (segmentation.py:91-166 semantics).
 
-    def combine_adjacent_segments(self, *, bug_compat: bool = True) -> None:
+        ``backend``: "auto" uses the native C++ merge loop when built
+        (parity-pinned in tests/test_native.py), "python" forces the
+        numpy reference-semantics implementation.
+        """
+        if backend == "auto" and _native_available():
+            from cut_detection_tpu import native
+
+            self.te = native.glue_orphans(self.te, real_threshold,
+                                          blank_threshold,
+                                          bug_compat=bug_compat)
+        else:
+            self.te = _glue.glue_orphans(
+                self.te, real_threshold, blank_threshold,
+                bug_compat=bug_compat
+            )
+
+    def combine_adjacent_segments(self, *, bug_compat: bool = True,
+                                  backend: str = "auto") -> None:
         """Merge equal-type adjacent segments (segmentation.py:168-183)."""
-        self.te = _glue.combine_adjacent_segments(self.te, bug_compat=bug_compat)
+        if backend == "auto" and _native_available():
+            from cut_detection_tpu import native
+
+            self.te = native.combine_adjacent(self.te, bug_compat=bug_compat)
+        else:
+            self.te = _glue.combine_adjacent_segments(
+                self.te, bug_compat=bug_compat)
 
     def write_csv(self, file_path: str) -> None:
         """Byte-exact CSV output (segmentation.py:185-196)."""
