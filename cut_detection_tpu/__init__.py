@@ -34,6 +34,13 @@ from cut_detection_tpu.version import __version__
 from cut_detection_tpu.models.assembly import (
     load_and_glue_nets,
     load_default_net,
+    load_embedding_net,
+    load_triplet_or_default,
+)
+from cut_detection_tpu.pipeline import (
+    classify_video,
+    segment_many,
+    segment_video_file,
 )
 from cut_detection_tpu.segmentation.rle import Segmentation
 
@@ -41,5 +48,10 @@ __all__ = [
     "__version__",
     "load_and_glue_nets",
     "load_default_net",
+    "load_embedding_net",
+    "load_triplet_or_default",
+    "classify_video",
+    "segment_many",
+    "segment_video_file",
     "Segmentation",
 ]

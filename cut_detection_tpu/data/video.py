@@ -281,6 +281,10 @@ class ParallelVideoReader:
             dec.close()
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        if self._threads:
+            raise RuntimeError(
+                "ParallelVideoReader is single-use: construct a new reader "
+                "to decode the video again.")
         for t in range(self.num_threads):
             th = threading.Thread(target=self._worker, daemon=True,
                                   name=f"decode-{t}")
