@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--height", type=int, default=144)
     p.add_argument("--width", type=int, default=256)
+    p.add_argument("--precision",
+                   choices=["float32", "bfloat16", "bfloat16_full"],
+                   default="float32",
+                   help="Precision mode baked into the exported program.")
     p.add_argument("--output", type=str, default=None)
     return p
 
@@ -53,13 +57,14 @@ def main(args=None) -> str:
     )
 
     if ns.use_default_net:
-        net, params = load_default_net()
+        net, params = load_default_net(precision=ns.precision)
     else:
         net, params = load_and_glue_nets(
             os.path.join(ns.model_dir, f"{ns.model_name}_model_params.json"),
             os.path.join(ns.model_dir, f"{ns.model_name}_classifier_conv.npz"),
             os.path.join(ns.model_dir,
                          f"{ns.model_name}_classifier_linear.npz"),
+            precision=ns.precision,
         )
 
     rng = np.random.default_rng(0)
@@ -92,7 +97,8 @@ def main(args=None) -> str:
 
     def forward(x):
         return _glued_apply(bundle, x, conv_cfg=net.conv_cfg,
-                            linear_cfg=net.linear_cfg)
+                            linear_cfg=net.linear_cfg,
+                            compute_dtype=net.compute_dtype)
 
     exported = jax.export.export(jax.jit(forward))(
         jax.ShapeDtypeStruct(example.shape, np.float32))
