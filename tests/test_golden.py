@@ -58,3 +58,17 @@ def test_native_decoder_matches_golden_csv(tmp_path):
     with open(out, "rb") as f, open(
             os.path.join(GOLDEN, "ref_segments.csv"), "rb") as g:
         assert f.read() == g.read()
+
+
+def test_pipeline_matches_golden_csv_odd_geometry(tmp_path):
+    """427x240 source -> 256x143 resize: odd height + odd source width."""
+    clip = os.path.join(GOLDEN, "clip_odd.mp4")
+    if not os.path.isfile(clip):
+        pytest.skip("odd golden fixture missing")
+    from cut_detection_tpu.pipeline import segment_video_file
+
+    out = str(tmp_path / "out.csv")
+    segment_video_file(clip, out, batch_size=64, print_every=0)
+    with open(out, "rb") as f, open(
+            os.path.join(GOLDEN, "ref_segments_odd.csv"), "rb") as g:
+        assert f.read() == g.read()
