@@ -51,16 +51,13 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
     frames = rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8)
     frames = jax.device_put(frames)
 
-    # Match the pipeline's shipped graph: the bf16 perf modes fold the
-    # flip+/255 preprocess into conv1's weights (assembly.fold_preprocess).
-    fold = net.compute_dtype is not None
-    if fold:
-        from cut_detection_tpu.models.assembly import fold_preprocess
+    # Match the pipeline's shipped graph: every mode folds the flip+/255
+    # preprocess into conv1's weights (assembly.fold_preprocess).
+    fold = True
+    from cut_detection_tpu.models.assembly import fold_preprocess
 
-        bundle0 = jax.tree_util.tree_map(jnp.asarray,
-                                         fold_preprocess(net.bundle))
-    else:
-        bundle0 = net.bundle
+    bundle0 = jax.tree_util.tree_map(jnp.asarray,
+                                     fold_preprocess(net.bundle))
 
     @jax.jit
     def run(bundle, frames_u8, k):

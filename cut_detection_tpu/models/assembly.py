@@ -101,10 +101,11 @@ def fold_preprocess(bundle):
 
     ``conv(flip(x) / 255, W) == conv(x, W[:, :, ::-1, :] / 255)`` — with
     the fold, raw uint8 BGR pixels (cast to float) feed the conv directly
-    and the whole preprocess pass disappears (measured +14% classify
-    throughput, docs/PERFORMANCE.md).  The /255-scaled weights round
-    differently at the ulp level, so the perf (bf16) paths use this, not
-    the strict-parity float32 mode.
+    and the whole preprocess pass disappears (measured +14% at bf16_full,
+    +17% at float32; docs/PERFORMANCE.md).  The /255-scaled weights round
+    differently at the ulp level, but folded float32 logits still match
+    the torch reference to <4e-6 on hardware, so every pipeline mode
+    folds (only the Pallas-preprocess path keeps the explicit normalize).
     """
     layer0 = dict(bundle["conv"]["params"][0])
     layer0["kernel"] = layer0["kernel"][:, :, ::-1, :] / 255.0
