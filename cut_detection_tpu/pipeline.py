@@ -235,6 +235,50 @@ def classify_video(
     return conf_np, pred_np, stats
 
 
+def _smooth(conf, pred, base_threshold: int, blank_threshold: int,
+            *, device: bool = False) -> Segmentation:
+    """Per-frame scores -> smoothed segment table.
+
+    ``device=True`` runs the whole smoother as one jit'd program
+    (segmentation/device_glue.py) — equivalent to the host merge loops —
+    falling back to the host path if the static segment bound is
+    exceeded.
+    """
+    seg = Segmentation.from_frame_scores(conf, pred)
+    logger.info("Found %d initial segments", len(seg))
+    if device:
+        from cut_detection_tpu.segmentation.device_glue import device_smooth
+
+        max_segments = max(4096, 1 << (len(seg) - 1).bit_length())
+        start, typ, active, count = device_smooth(
+            conf, pred.astype(np.int32), base_threshold, blank_threshold,
+            max_segments=max_segments)
+        if int(count) <= max_segments:
+            act = np.asarray(active)
+            starts = np.asarray(start)[act]
+            n = len(conf)
+            seg = Segmentation(_te={
+                "start_frames": starts.astype(np.int64),
+                "frame_types": np.asarray(typ)[act].astype(np.int64),
+                "end_frames": np.concatenate([starts[1:] - 1,
+                                              [n - 1]]).astype(np.int64),
+                "run_lengths": np.diff(np.concatenate([starts, [n]])),
+                "score_means": np.zeros(len(starts), np.float32),
+            })
+            logger.info("Device smoother: %d segments.", len(seg))
+            return seg
+        logger.warning("Device smoother bound exceeded (%d segments); "
+                       "using host path.", int(count))
+    seg.glue_orphans(base_threshold, blank_threshold)
+    logger.info("Revised to %d segments through orphan combination.",
+                len(seg))
+    seg.combine_adjacent_segments()
+    logger.info(
+        "Revised to %d segments through matching adjacent combination.",
+        len(seg))
+    return seg
+
+
 def segment_video_file(
     input_path: str,
     output_path: str | None = None,
@@ -273,45 +317,8 @@ def segment_video_file(
         decoder=decoder,
     )
 
-    seg = Segmentation.from_frame_scores(conf, pred)
-    logger.info("Found %d initial segments", len(seg))
-    if device_glue:
-        # Full smoother as one jit'd device program (segmentation/
-        # device_glue.py); equivalent to the host loops — falls back to the
-        # host path if the static segment bound is exceeded.
-        from cut_detection_tpu.segmentation.device_glue import device_smooth
-
-        max_segments = max(4096, 1 << (len(seg) - 1).bit_length())
-        start, typ, active, count = device_smooth(
-            conf, pred.astype(np.int32), base_threshold, blank_threshold,
-            max_segments=max_segments)
-        if int(count) <= max_segments:
-            act = np.asarray(active)
-            starts = np.asarray(start)[act]
-            types = np.asarray(typ)[act].astype(np.int64)
-            seg = Segmentation(_te={
-                "start_frames": starts,
-                "frame_types": types,
-                "end_frames": np.concatenate([starts[1:] - 1,
-                                              [len(conf) - 1]]),
-                "run_lengths": np.diff(np.concatenate([starts,
-                                                       [len(conf)]])),
-                "score_means": np.zeros(len(starts), np.float32),
-            })
-            logger.info("Device smoother: %d segments.", len(seg))
-        else:
-            logger.warning("Device smoother bound exceeded (%d segments); "
-                           "using host path.", int(count))
-            device_glue = False
-    if not device_glue:
-        seg.glue_orphans(base_threshold, blank_threshold)
-        logger.info("Revised to %d segments through orphan combination.",
-                    len(seg))
-        seg.combine_adjacent_segments()
-        logger.info(
-            "Revised to %d segments through matching adjacent combination.",
-            len(seg)
-        )
+    seg = _smooth(conf, pred, base_threshold, blank_threshold,
+                  device=device_glue)
 
     if output_path is None:
         output_path = os.path.splitext(input_path)[0] + "_segments.csv"
