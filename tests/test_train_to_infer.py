@@ -120,3 +120,16 @@ def test_trained_triplet_segments_video(trained_model_dir, tmp_path):
     assert segs[0][0] == 0
     assert abs(segs[1][0] - 40) <= 5
     assert abs(segs[2][0] - 80) <= 5
+
+    # Close the loop with the evaluation tool against the known truth.
+    truth = str(tmp_path / "truth.csv")
+    with open(truth, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([0, "a22"])
+        w.writerow([40, "b"])
+        w.writerow([80, "ez"])
+    from cut_detection_tpu.cli.evaluate import evaluate
+
+    scores = evaluate(out, truth, num_frames=120, tolerance=5)
+    assert scores["frame_accuracy"] > 0.9
+    assert scores["boundary_recall"] == 1.0
