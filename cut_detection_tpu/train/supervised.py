@@ -266,7 +266,8 @@ def train_supervised(cfg: TrainConfig, datasets, *, mesh=None,
                 "valid_loss": vloss / max(vn, 1),
                 "valid_acc_per_class": (correct / np.maximum(total, 1)).tolist(),
             })
-        if checkpoint_dir and cfg.checkpoint_every_n and not eval_only:
+        if (checkpoint_dir and cfg.checkpoint_every_n and not eval_only
+                and (epoch + 1) % cfg.checkpoint_every_n == 0):
             from cut_detection_tpu.train.checkpointing import save_train_state
 
             save_train_state(checkpoint_dir, state, cfg, epoch)

@@ -140,6 +140,36 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_checkpoint_every_n_cadence(tmp_path):
+    """checkpoint_every_n=2 over 4 epochs -> snapshots after epochs 2, 4."""
+    import os
+
+    import cv2 as _cv2  # noqa: F401 - ensures fixture deps exist
+    import cv2
+
+    from cut_detection_tpu.data.frames import SupervisedFrameDataset
+    from cut_detection_tpu.train.supervised import train_supervised
+
+    data = tmp_path / "frames"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    import csv as _csv
+
+    with open(data / "frames.csv", "w", newline="") as f:
+        _csv.writer(f).writerow([0, "a22"])
+    for i in range(24):
+        cv2.imwrite(str(data / f"frame_{i:07}.jpg"),
+                    rng.integers(0, 255, (18, 24, 3)).astype(np.uint8))
+
+    cfg = _tiny_cfg(batch_size=4, epochs=4, checkpoint_every_n=2)
+    ckpt = tmp_path / "ckpts"
+    train_supervised(cfg, [SupervisedFrameDataset(str(data), "frames.csv")],
+                     num_workers=0, checkpoint_dir=str(ckpt))
+    snaps = sorted(f for f in os.listdir(ckpt)
+                   if f.startswith("train_state_") and f.endswith(".npz"))
+    assert snaps == ["train_state_0001.npz", "train_state_0003.npz"]
+
+
 def test_model_triplet_save_load(tmp_path):
     from cut_detection_tpu.models.assembly import load_and_glue_nets
     from cut_detection_tpu.train.checkpointing import save_model_triplet
