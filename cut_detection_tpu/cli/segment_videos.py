@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard frame batches across all local devices.")
+    p.add_argument("--multi-host", action="store_true",
+                   help="Initialize jax.distributed and give each host its "
+                        "round-robin shard of the video list (no-op on a "
+                        "single host).")
     p.add_argument("--model-dir", type=str, default=None,
                    help="Use a trained triplet instead of the bundled "
                         "prod classifier.")
@@ -52,6 +56,18 @@ def main(args=None) -> list[str]:
         force_cpu()
     logging.info("Using %s x%d", jax.devices()[0].platform, len(jax.devices()))
 
+    inputs = ns.input_paths
+    if ns.multi_host:
+        from cut_detection_tpu.parallel.distributed import (
+            initialize,
+            partition_inputs,
+        )
+
+        pid = initialize()
+        inputs = partition_inputs(inputs)
+        logging.info("host %d processing %d of %d videos", pid,
+                     len(inputs), len(ns.input_paths))
+
     mesh = None
     if ns.data_parallel and len(jax.devices()) > 1:
         from cut_detection_tpu.parallel.mesh import make_mesh
@@ -68,7 +84,7 @@ def main(args=None) -> list[str]:
                                          precision=ns.precision)
 
     results = segment_many(
-        ns.input_paths,
+        inputs,
         net=net,
         base_threshold=ns.base_threshold,
         blank_threshold=ns.blank_threshold,
