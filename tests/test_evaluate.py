@@ -55,3 +55,26 @@ def test_missing_class_reports_none(tmp_path):
 def test_frame_labels_expansion():
     labels = frame_labels([(0, "b"), (5, "ez")], 8)
     np.testing.assert_array_equal(labels, [2, 2, 2, 2, 2, 1, 1, 1])
+
+
+def test_reads_crlf_csv(tmp_path):
+    """The pipeline's own output format (\\r\\n, segmentation.py:193-196)
+    parses cleanly."""
+    from cut_detection_tpu.cli.evaluate import read_segments_csv
+
+    p = tmp_path / "crlf.csv"
+    p.write_bytes(b"0,b\r\n10,a22\r\n")
+    assert read_segments_csv(str(p)) == [(0, "b"), (10, "a22")]
+
+
+def test_main_prints_json(tmp_path, capsys):
+    from cut_detection_tpu.cli.evaluate import main
+
+    a = tmp_path / "a.csv"
+    _write(a, [(0, "a22")])
+    result = main([str(a), str(a), "--num-frames", "30"])
+    import json
+
+    printed = json.loads(capsys.readouterr().out.strip())
+    assert printed == result
+    assert printed["frame_accuracy"] == 1.0
