@@ -69,3 +69,37 @@ def test_unknown_route(server):
     base, _ = server
     status, _ = _post(base + "/nope", {})
     assert status == 404
+
+
+def test_serve_custom_model_dir(tmp_path, synthetic_video):
+    """The daemon can host a user-trained triplet (not just the prod net)."""
+    import jax
+
+    from cut_detection_tpu.cli.serve import make_server
+    from cut_detection_tpu.config import TrainConfig
+    from cut_detection_tpu.train.checkpointing import save_model_triplet
+    from cut_detection_tpu.train.supervised import init_train_state
+
+    cfg = TrainConfig(conv_layers=2, conv_hidden_channels=8, avg_pool_size=2,
+                      linear_layers=2, linear_size=8, output_size=3,
+                      batch_size=8, epochs=1)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    save_model_triplet(str(tmp_path), "custom", state, cfg)
+
+    srv, state_obj = make_server("127.0.0.1", 0, model_dir=str(tmp_path),
+                                 model_name="custom")
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        out = str(tmp_path / "served.csv")
+        status, data = _post(f"http://127.0.0.1:{port}/segment", {
+            "input_path": synthetic_video,
+            "output_path": out,
+            "batch_size": 64,
+            "frame_limit": 64,
+        })
+        assert status == 200
+        assert data["stats"]["frames"] > 0
+    finally:
+        srv.shutdown()
