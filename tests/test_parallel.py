@@ -111,6 +111,40 @@ def test_data_parallel_train_step_matches_single_device():
 
 
 @needs_8
+def test_train_supervised_loop_over_mesh(tmp_path):
+    """The full training loop (loader -> sharded step -> eval) on the
+    virtual mesh."""
+    import csv
+
+    import cv2
+
+    from cut_detection_tpu.config import TrainConfig
+    from cut_detection_tpu.data.frames import SupervisedFrameDataset
+    from cut_detection_tpu.train.supervised import train_supervised
+
+    data = tmp_path / "frames"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    with open(data / "frames.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([0, "a22"])
+        w.writerow([16, "b"])
+    for i in range(32):
+        cv2.imwrite(str(data / f"frame_{i:07}.jpg"),
+                    rng.integers(0, 255, (18, 24, 3)).astype(np.uint8))
+
+    cfg = TrainConfig(conv_layers=2, conv_hidden_channels=8, avg_pool_size=2,
+                      linear_layers=2, linear_size=8, output_size=3,
+                      batch_size=8, epochs=1)
+    mesh = make_mesh(jax.devices()[:8])
+    result = train_supervised(
+        cfg, [SupervisedFrameDataset(str(data), "frames.csv")],
+        mesh=mesh, num_workers=0)
+    assert len(result["history"]) == 1
+    assert np.isfinite(result["history"][0]["train_loss"])
+
+
+@needs_8
 def test_graft_dryrun_multichip():
     import importlib.util
 
