@@ -140,6 +140,34 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_train_supervised_eval_only(tmp_path):
+    import csv as _csv
+    import cv2
+
+    from cut_detection_tpu.data.frames import SupervisedFrameDataset
+    from cut_detection_tpu.train.supervised import (
+        init_train_state,
+        train_supervised,
+    )
+
+    data = tmp_path / "frames"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    with open(data / "frames.csv", "w", newline="") as f:
+        _csv.writer(f).writerow([0, "ez"])
+    for i in range(16):
+        cv2.imwrite(str(data / f"frame_{i:07}.jpg"),
+                    rng.integers(0, 255, (18, 24, 3)).astype(np.uint8))
+
+    cfg = _tiny_cfg(batch_size=4, epochs=3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    result = train_supervised(
+        cfg, [SupervisedFrameDataset(str(data), "frames.csv")],
+        num_workers=0, eval_only=True, state=state)
+    # eval_only runs one validation pass and no training epochs.
+    assert result["history"] == []
+
+
 def test_checkpoint_every_n_cadence(tmp_path):
     """checkpoint_every_n=2 over 4 epochs -> snapshots after epochs 2, 4."""
     import os
