@@ -71,6 +71,30 @@ def test_unknown_route(server):
     assert status == 404
 
 
+def test_concurrent_requests_serialize(server, synthetic_video, tmp_path):
+    """Two simultaneous /segment requests both succeed (the device lock
+    serializes them rather than corrupting shared state)."""
+    results = []
+
+    def hit(tag):
+        out = str(tmp_path / f"c{tag}.csv")
+        status, data = _post(server[0] + "/segment", {
+            "input_path": synthetic_video,
+            "output_path": out,
+            "batch_size": 64,
+            "frame_limit": 64,
+        })
+        results.append((status, data.get("stats", {}).get("frames")))
+
+    ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert len(results) == 2
+    assert all(status == 200 and frames for status, frames in results)
+
+
 def test_serve_custom_model_dir(tmp_path, synthetic_video):
     """The daemon can host a user-trained triplet (not just the prod net)."""
     import jax
