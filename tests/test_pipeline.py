@@ -245,6 +245,37 @@ def test_pipeline_mesh_batch_divisibility(synthetic_video):
                        print_every=0)
 
 
+def test_seek_mismatch_detected(synthetic_video, monkeypatch):
+    """If a decoder returns different pixels after a seek (inexact-seek
+    codec), the boundary guard must count and log it rather than let the
+    stream silently diverge."""
+    from cut_detection_tpu.data import video as V
+
+    orig_seek = V._Cv2ChunkDecoder.seek
+    orig_read = V._Cv2ChunkDecoder.read
+
+    def fake_seek(self, idx):
+        orig_seek(self, idx)
+        self._just_sought = True
+
+    def fake_read(self):
+        f = orig_read(self)
+        if getattr(self, "_just_sought", False) and f is not None:
+            self._just_sought = False
+            f = f.copy()
+            f[0, 0, 0] ^= 1  # corrupt the first post-seek frame
+        return f
+
+    monkeypatch.setattr(V._Cv2ChunkDecoder, "seek", fake_seek)
+    monkeypatch.setattr(V._Cv2ChunkDecoder, "read", fake_read)
+
+    reader = V.ParallelVideoReader(synthetic_video, resize=None,
+                                   num_threads=2, chunk_frames=50)
+    frames = list(reader)
+    assert len(frames) == reader.length
+    assert reader.seek_mismatches >= 1
+
+
 def test_truncated_video_accounting(tmp_path):
     """A corrupt/truncated file decodes partially; the pipeline truncates
     like the reference (frameID/data.py:213-216) but ACCOUNTS for it.
