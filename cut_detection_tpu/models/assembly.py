@@ -64,6 +64,14 @@ class GluedNet:
         (bf16 operands and activations — fastest)."""
         return None if self.precision == "float32" else self.precision
 
+    def __repr__(self) -> str:
+        mp = self.model_params
+        return (f"GluedNet(conv={mp.conv_layers}x{mp.conv_channels}ch, "
+                f"pool={mp.avg_pool_size}, "
+                f"fc={mp.linear_layers}x{mp.linear_size}->"
+                f"{mp.linear_output_size}, params={self.num_params():,}, "
+                f"precision={self.precision})")
+
     def __call__(self, x):
         return self._jitted(self.bundle, x)
 
