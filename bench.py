@@ -12,7 +12,7 @@ Prints ONE JSON line:
   batches.  The reference publishes no numbers (BASELINE.md), so the
   baseline is measured here, matching its eval path (segment_video.py:38-45).
 
-Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_SECONDS.
+Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_SECONDS, BENCH_PRECISION.
 """
 
 from __future__ import annotations
