@@ -135,3 +135,20 @@ def test_random_net_roundtrip_through_torch(torch):
     feats, _ = apply_frame_conv(conv_p, conv_s, np.asarray(x), conv_cfg)
     ours, _ = apply_frame_linear(lin_p, lin_s, feats, lin_cfg)
     assert np.abs(ref - np.asarray(ours)).max() < 1e-4
+
+
+def test_glued_net_save_reload_roundtrip(tmp_path):
+    """GluedNet.save -> load_bundle -> GluedNet reproduces logits bitwise
+    (no reference needed: pure npz round trip of the prod bundle)."""
+    from cut_detection_tpu.checkpoint.io import load_bundle
+    from cut_detection_tpu.models.assembly import GluedNet
+
+    net, params = load_default_net()
+    path = str(tmp_path / "prod_copy.npz")
+    net.save(path)
+    net2 = GluedNet(load_bundle(path), net.model_params)
+    assert net2.num_params() == net.num_params() == 67971
+
+    rng = np.random.default_rng(7)
+    x = rng.random((4, 144, 256, 3), dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(net(x)), np.asarray(net2(x)))
