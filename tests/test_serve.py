@@ -127,3 +127,28 @@ def test_serve_custom_model_dir(tmp_path, synthetic_video):
         assert data["stats"]["frames"] > 0
     finally:
         srv.shutdown()
+
+
+def test_segment_threshold_passthrough(server, synthetic_video, tmp_path):
+    """base/blank thresholds in the request body reach the glue pass:
+    the served segments equal a direct segment_video_file call with the
+    same non-default thresholds."""
+    from cut_detection_tpu.pipeline import segment_video_file
+
+    out_direct = str(tmp_path / "direct.csv")
+    _, seg, _ = segment_video_file(synthetic_video, out_direct,
+                                   base_threshold=8, blank_threshold=4,
+                                   print_every=0)
+
+    out_served = str(tmp_path / "served_thresh.csv")
+    status, data = _post(server[0] + "/segment", {
+        "input_path": synthetic_video,
+        "output_path": out_served,
+        "base_threshold": 8,
+        "blank_threshold": 4,
+    })
+    assert status == 200
+    assert [sf for sf, _ in data["segments"]] == [
+        int(s) for s in seg.te["start_frames"]]
+    with open(out_direct, "rb") as a, open(out_served, "rb") as b:
+        assert a.read() == b.read()
