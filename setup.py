@@ -4,11 +4,26 @@
 ``segment-video`` / ``split-video`` console entry points.
 """
 
+import os
+
 from setuptools import find_packages, setup
+
+
+def _version() -> str:
+    # Single source of truth: cut_detection_tpu/version.py (no import, so
+    # setup works without the package's runtime deps installed).
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "cut_detection_tpu", "version.py")
+    with open(path) as f:
+        for line in f:
+            if line.startswith("__version__"):
+                return line.split("=")[1].strip().strip('"')
+    raise RuntimeError("__version__ not found in cut_detection_tpu/version.py")
+
 
 setup(
     name="cut_detection_tpu",
-    version="0.1.0",
+    version=_version(),
     description=(
         "TPU-native NFL broadcast cut detection: JAX/XLA/Pallas frame "
         "classifier + run-length segmenter"
