@@ -12,7 +12,13 @@ produced segments CSV against a ground-truth CSV (same
 - segment counts
 
 Usage: ``python -m cut_detection_tpu.cli.evaluate pred.csv truth.csv
---num-frames N [--tolerance 30]``
+[--num-frames N] [--tolerance 30]``
+
+When ``--num-frames`` is omitted the video length is assumed to be one
+past the last boundary in either CSV (reported as ``num_frames_assumed``
+in the output) — fine for boundary metrics, but frame accuracy then
+ignores however much footage follows the final cut, so pass the real
+frame count when it matters.
 """
 
 from __future__ import annotations
@@ -40,10 +46,13 @@ def frame_labels(segments: list[tuple[int, str]], num_frames: int) -> np.ndarray
     return out
 
 
-def evaluate(pred_csv: str, truth_csv: str, num_frames: int,
+def evaluate(pred_csv: str, truth_csv: str, num_frames: int | None,
              tolerance: int = 30) -> dict:
     pred = read_segments_csv(pred_csv)
     truth = read_segments_csv(truth_csv)
+    assumed = num_frames is None
+    if assumed:
+        num_frames = max((s for s, _ in pred + truth), default=0) + 1
     pl = frame_labels(pred, num_frames)
     tl = frame_labels(truth, num_frames)
 
@@ -68,7 +77,7 @@ def evaluate(pred_csv: str, truth_csv: str, num_frames: int,
     precision = _matched(pred_b, true_b) / max(len(pred_b), 1)
     recall = _matched(true_b, pred_b) / max(len(true_b), 1)
 
-    return {
+    result = {
         "frame_accuracy": round(acc, 4),
         "per_class_accuracy": {k: (round(v, 4) if v is not None else None)
                                for k, v in per_class.items()},
@@ -78,13 +87,18 @@ def evaluate(pred_csv: str, truth_csv: str, num_frames: int,
         "pred_segments": len(pred),
         "true_segments": len(truth),
     }
+    if assumed:
+        result["num_frames_assumed"] = int(num_frames)
+    return result
 
 
 def main(args=None) -> dict:
     p = argparse.ArgumentParser("Evaluate a segments CSV against truth.")
     p.add_argument("pred_csv", type=str)
     p.add_argument("truth_csv", type=str)
-    p.add_argument("--num-frames", type=int, required=True)
+    p.add_argument("--num-frames", type=int, default=None,
+                   help="Total frames in the video; if omitted, assumed to "
+                        "be one past the last boundary in either CSV.")
     p.add_argument("--tolerance", type=int, default=30,
                    help="Boundary match tolerance in frames.")
     ns = p.parse_args(args)

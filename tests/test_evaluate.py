@@ -78,3 +78,20 @@ def test_main_prints_json(tmp_path, capsys):
     printed = json.loads(capsys.readouterr().out.strip())
     assert printed == result
     assert printed["frame_accuracy"] == 1.0
+
+
+def test_num_frames_optional(tmp_path):
+    """Omitted num_frames is assumed one past the last boundary and
+    reported explicitly; boundary metrics are unaffected."""
+    rows = [(0, "b"), (100, "a22"), (400, "ez")]
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    _write(a, rows)
+    _write(b, rows)
+    res = evaluate(str(a), str(b), num_frames=None)
+    assert res["num_frames_assumed"] == 401
+    assert res["frame_accuracy"] == 1.0
+    assert res["boundary_precision"] == 1.0
+    assert res["boundary_recall"] == 1.0
+    # Explicit num_frames must not report the assumption.
+    assert "num_frames_assumed" not in evaluate(str(a), str(b), 600)
