@@ -73,12 +73,12 @@ def _ansi_preview(img: np.ndarray, width: int = 64) -> str:
     return "\n".join(lines)
 
 
-def _terminal_app(data_dir: str) -> None:
+def _terminal_app(data_dir: str, seed: int | None = None) -> None:
     from cut_detection_tpu.data.frames import ContrastiveFrameDataset
 
     ds = ContrastiveFrameDataset(data_dir, ext=".jpg")
     labels = get_labels(data_dir)
-    rng = np.random.default_rng()
+    rng = np.random.default_rng(seed)
     print(f"{len(ds)} frames; {len(labels)} labeled. "
           "Keys: [e]ndzone [a]ll-22 [b]lank [s]kip [q]uit")
     while True:
@@ -103,6 +103,9 @@ def main(args=None) -> None:
     p.add_argument("data_dir", type=str, nargs="?", default="data/ravens-lions")
     p.add_argument("--terminal", action="store_true",
                    help="Force the terminal UI.")
+    p.add_argument("--seed", type=int, default=None,
+                   help="Seed the random frame order (terminal UI) for "
+                        "reproducible/scripted labelling sessions.")
     ns = p.parse_args(args)
     if not ns.terminal:
         try:
@@ -110,7 +113,7 @@ def main(args=None) -> None:
             return
         except ImportError:
             print("streamlit not available; falling back to terminal UI.")
-    _terminal_app(ns.data_dir)
+    _terminal_app(ns.data_dir, seed=ns.seed)
 
 
 if __name__ == "__main__":
