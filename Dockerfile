@@ -27,8 +27,12 @@ COPY ./cut_detection_tpu/ /home/cut_detection_tpu
 COPY ./native/ /home/native
 COPY ./segment_video.py ./setup.py /home/
 
+# Pinned to the versions the parity suite was verified against
+# (docs/PARITY.md): cv2's INTER_LINEAR fixed-point rounding is part of the
+# byte-parity surface, so its pin is exact.
 RUN pip install --no-cache-dir --upgrade pip && \
-    pip install --no-cache-dir "jax[${JAX_EXTRA}]" opencv-python-headless numpy optax && \
+    pip install --no-cache-dir "jax[${JAX_EXTRA}]>=0.9.0,<0.10" \
+      opencv-python-headless==5.0.0.93 "numpy>=2.0,<3" "optax>=0.2.6,<0.3" && \
     pip install --no-cache-dir -e . && \
     make -C /home/native
 

@@ -88,7 +88,14 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
 
 
 def bench_reference(batch: int, seconds: float) -> float | None:
-    """Torch reference net on CPU (its own fallback device; segment_video.py:25)."""
+    """Torch reference net on CPU (its own fallback device; segment_video.py:25).
+
+    Warmup uses FULL-size batches: the first full-batch forward pays
+    one-time allocator/page-fault costs that depressed early measurements
+    (7.8 fps cold vs ~21 fps warm on this 1-core host — the discrepancy
+    VERDICT r1 flagged).  The warm steady state is the honest baseline;
+    note the shared host still drifts ~2x run to run (docs/PERFORMANCE.md).
+    """
     if not os.path.isdir("/root/reference"):
         return None
     sys.path.insert(0, "/root/reference")
@@ -104,7 +111,8 @@ def bench_reference(batch: int, seconds: float) -> float | None:
             rng.random((batch, 3, 144, 256), dtype=np.float32)
         )
         with torch.no_grad():
-            tnet(x[:8])  # warmup
+            for _ in range(3):  # full-size warmup (see docstring)
+                tnet(x)
             n = 0
             t0 = time.perf_counter()
             while time.perf_counter() - t0 < seconds:

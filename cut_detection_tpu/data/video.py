@@ -193,15 +193,22 @@ class ParallelVideoReader:
     def __init__(self, file_path: str, resize: int | None = None,
                  num_threads: int = 4, chunk_frames: int = 256,
                  max_pending_chunks: int | None = None,
-                 backend: str = "cv2", verify_seek: bool = True):
+                 backend: str = "cv2", verify_seek: bool = True,
+                 heal_seek: bool = True):
         self.backend = backend
         # Seek-integrity guard: chunks overlap by one frame and the
         # boundary frame is byte-compared against the previous chunk's
         # last frame.  Catches codecs with inexact keyframe seeking
         # (e.g. open-GOP H.264) that would silently corrupt the stream;
-        # costs one extra decoded frame per chunk (<0.5%).
+        # costs one extra decoded frame per chunk (<0.5%).  With
+        # ``heal_seek`` a caught mismatch is *repaired* by re-decoding the
+        # chunk from an earlier, verified position (bounded retry ending
+        # in a guaranteed sequential decode), so ``--decode-workers N``
+        # stays byte-exact on open-GOP codecs instead of merely warning.
         self.verify_seek = verify_seek
+        self.heal_seek = heal_seek
         self.seek_mismatches = 0
+        self.chunks_healed = 0
         self.file_path = file_path
         self.resize = resize
         if backend == "native":
@@ -280,6 +287,70 @@ class ParallelVideoReader:
         finally:
             dec.close()
 
+    def _new_decoder(self):
+        if self.backend == "native":
+            return _NativeChunkDecoder(self.file_path)
+        return _Cv2ChunkDecoder(self.file_path)
+
+    def _redecode_chunk(self, chunk: int, prev_last: np.ndarray):
+        """Re-decode chunk ``chunk`` with verified alignment (self-heal).
+
+        Bounded retry with progressively earlier seek points (1 chunk
+        back, 4 chunks back, then frame 0 with NO seek — a fresh decoder
+        starts at 0, so that attempt is sequential and exact by
+        construction).  Each attempt decodes forward to the chunk's first
+        frame and only trusts the stream once the frame at ``start-1``
+        byte-equals the previous chunk's verified last frame — decoding
+        from further back gives an open-GOP decoder the reference frames
+        it needs, and the byte compare proves it converged.  Returns the
+        chunk's frames (host-resized like the workers') or None if every
+        attempt failed to decode that far.
+        """
+        start = chunk * self.chunk_frames
+        end = min(start + self.chunk_frames, self.length)
+        targets = [t for back in (1, 4)
+                   if (t := start - 1 - back * self.chunk_frames) > 0]
+        targets.append(0)
+        for target in targets:
+            dec = self._new_decoder()
+            try:
+                if target > 0:
+                    dec.seek(target)
+                check = None
+                for _ in range(start - target):
+                    check = dec.read()
+                    if check is None:
+                        break
+                if check is None:
+                    continue
+                if self.new_width is not None:
+                    check = _host_resize(check, self.new_width,
+                                         self.new_height)
+                if not np.array_equal(check, prev_last):
+                    if target > 0:
+                        continue
+                    # Sequential-from-0 IS ground truth; disagreement here
+                    # would mean the already-emitted stream was wrong,
+                    # which the inductive boundary checks rule out short
+                    # of a nondeterministic decoder.  Trust the sequential
+                    # frames going forward and say so.
+                    logger.warning(
+                        "Sequential re-decode of chunk %d disagrees with "
+                        "the previously verified boundary frame; decoder "
+                        "is nondeterministic.", chunk)
+                frames = []
+                for _ in range(end - start):
+                    f = dec.read()
+                    if f is None:
+                        break
+                    if self.new_width is not None:
+                        f = _host_resize(f, self.new_width, self.new_height)
+                    frames.append(f)
+                return frames
+            finally:
+                dec.close()
+        return None
+
     def __iter__(self) -> Iterator[np.ndarray]:
         if self._threads:
             raise RuntimeError(
@@ -303,11 +374,28 @@ class ParallelVideoReader:
                 if boundary is not None and prev_last is not None:
                     if not np.array_equal(boundary, prev_last):
                         self.seek_mismatches += 1
-                        logger.warning(
-                            "Seek-inexact decode at chunk %d: boundary frame "
-                            "differs after keyframe seek (codec with open "
-                            "GOPs?). Use num_threads=1 for bit-exact "
-                            "sequential decode.", emit)
+                        if self.heal_seek:
+                            logger.warning(
+                                "Seek-inexact decode at chunk %d (codec "
+                                "with open GOPs?); re-decoding the chunk "
+                                "from an earlier verified position.", emit)
+                            healed = self._redecode_chunk(emit, prev_last)
+                            if healed is not None:
+                                start = emit * self.chunk_frames
+                                want = min(start + self.chunk_frames,
+                                           self.length) - start
+                                frames, ok = healed, len(healed) == want
+                                self.chunks_healed += 1
+                            else:
+                                logger.warning(
+                                    "Self-heal re-decode failed for chunk "
+                                    "%d; yielding unverified frames.", emit)
+                        else:
+                            logger.warning(
+                                "Seek-inexact decode at chunk %d: boundary "
+                                "frame differs after keyframe seek (codec "
+                                "with open GOPs?). Use num_threads=1 for "
+                                "bit-exact sequential decode.", emit)
                 if frames:
                     prev_last = frames[-1]
                 yield from frames

@@ -249,26 +249,28 @@ def _smooth(conf, pred, base_threshold: int, blank_threshold: int,
     if device:
         from cut_detection_tpu.segmentation.device_glue import device_smooth
 
+        # The bound is derived from the host table's exact segment count,
+        # so it can never be exceeded (rounded up to a power of two >=4096
+        # purely to bucket compilations across videos).
         max_segments = max(4096, 1 << (len(seg) - 1).bit_length())
-        start, typ, active, count = device_smooth(
+        start, typ, active, _, mean, end = device_smooth(
             conf, pred.astype(np.int32), base_threshold, blank_threshold,
             max_segments=max_segments)
-        if int(count) <= max_segments:
-            act = np.asarray(active)
-            starts = np.asarray(start)[act]
-            n = len(conf)
-            seg = Segmentation(_te={
-                "start_frames": starts.astype(np.int64),
-                "frame_types": np.asarray(typ)[act].astype(np.int64),
-                "end_frames": np.concatenate([starts[1:] - 1,
-                                              [n - 1]]).astype(np.int64),
-                "run_lengths": np.diff(np.concatenate([starts, [n]])),
-                "score_means": np.zeros(len(starts), np.float32),
-            })
-            logger.info("Device smoother: %d segments.", len(seg))
-            return seg
-        logger.warning("Device smoother bound exceeded (%d segments); "
-                       "using host path.", int(count))
+        act = np.asarray(active)
+        starts = np.asarray(start)[act].astype(np.int64)
+        ends = np.asarray(end)[act].astype(np.int64)
+        seg = Segmentation(_te={
+            "start_frames": starts,
+            "frame_types": np.asarray(typ)[act].astype(np.int64),
+            "end_frames": ends,
+            "run_lengths": ends - starts + 1,
+            # Post-merge means (bug-compat inflated, same as the host
+            # table) so downstream consumers (e.g. serve confidences)
+            # see the same values either path.
+            "score_means": np.asarray(mean)[act].astype(np.float32),
+        })
+        logger.info("Device smoother: %d segments.", len(seg))
+        return seg
     seg.glue_orphans(base_threshold, blank_threshold)
     logger.info("Revised to %d segments through orphan combination.",
                 len(seg))

@@ -192,28 +192,32 @@ def device_smooth(conf, pred, real_threshold=100, blank_threshold=10, *,
                   max_segments: int = 8192, bug_compat: bool = True):
     """Full smoother on device: per-frame (conf, pred) -> segment table.
 
-    Returns ``(start_frames, frame_types, active, initial_count)`` padded
-    to ``max_segments``; rows with ``active`` False are padding.  Compact
-    on host with ``start[active]``.  ``initial_count`` is the raw RLE
-    segment count — if it exceeds ``max_segments`` the result is invalid
-    (tables truncated); callers must check (``smooth_logits`` raises).
-    Noisy per-frame argmax produces ~1 segment per few frames in the worst
-    case, so bound accordingly; the host path remains for unbounded inputs.
+    Returns ``(start_frames, frame_types, active, initial_count,
+    score_means, end_frames)`` padded to ``max_segments``; rows with
+    ``active`` False are padding.  Compact on host with ``start[active]``.
+    ``score_means`` are the post-merge means — under ``bug_compat`` these
+    carry the reference's mis-parenthesized inflation
+    (frameID/segmentation.py:79-82), exactly like the host table's.
+    ``initial_count`` is the raw RLE segment count — if it exceeds
+    ``max_segments`` the result is invalid (tables truncated); callers
+    must check (``smooth_logits`` raises).  Noisy per-frame argmax
+    produces ~1 segment per few frames in the worst case, so bound
+    accordingly; the host path remains for unbounded inputs.
     """
     te, count = _build_tables(conf.astype(jnp.float32),
                               pred.astype(jnp.int32), max_segments)
     te = _glue_loop(te, real_threshold, blank_threshold, bug_compat)
     te = _adjacent_loop(te, bug_compat)
-    return te["start"], te["type"], te["active"], count
+    return te["start"], te["type"], te["active"], count, te["mean"], te["end"]
 
 
 def smooth_logits(logits, real_threshold=100, blank_threshold=10, *,
                   max_segments: int = 8192):
     """Convenience: [N, C] logits -> compacted (start_frames, labels) on host."""
     conf, pred = device_frame_scores(logits)
-    start, typ, active, count = device_smooth(conf, pred, real_threshold,
-                                              blank_threshold,
-                                              max_segments=max_segments)
+    start, typ, active, count, _, _ = device_smooth(
+        conf, pred, real_threshold, blank_threshold,
+        max_segments=max_segments)
     import numpy as np
 
     if int(count) > max_segments:

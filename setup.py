@@ -31,6 +31,22 @@ setup(
     packages=find_packages(include=["cut_detection_tpu", "cut_detection_tpu.*"]),
     package_data={"cut_detection_tpu": ["prod_net/*.npz", "prod_net/*.json"]},
     python_requires=">=3.10",
+    # Pinned like the reference (requirements.txt:1-4 pins torch===1.9.1
+    # etc.).  opencv is pinned EXACTLY: the bit-exact INTER_LINEAR resize
+    # parity (docs/PARITY.md) was verified against this build's SIMD
+    # rounding; a cv2 upgrade must re-run tests/test_resize.py before the
+    # pin moves.  jax moves in lockstep with jaxlib, so a compatible range.
+    install_requires=[
+        "jax>=0.9.0,<0.10",
+        "numpy>=2.0,<3",
+        "opencv-python==5.0.0.93",
+    ],
+    extras_require={
+        "train": ["optax>=0.2.6,<0.3", "orbax-checkpoint>=0.11"],
+        "serve": [],  # stdlib http.server — no extra deps
+        "label-ui": ["streamlit>=1.30"],
+        "dev": ["pytest>=8", "torch"],
+    },
     entry_points={
         "console_scripts": [
             "segment-video=cut_detection_tpu.cli.segment_video:main",

@@ -29,6 +29,13 @@ def _host_smooth(scores, k1, kb):
     return seg.te["start_frames"], seg.te["frame_types"]
 
 
+def _host_smooth_table(scores, k1, kb):
+    seg = Segmentation(scores)
+    seg.glue_orphans(k1, kb)
+    seg.combine_adjacent_segments()
+    return seg.te
+
+
 @pytest.mark.parametrize("seed,n,k1,kb", [
     (0, 2000, 100, 10),
     (1, 5000, 100, 10),
@@ -40,16 +47,21 @@ def _host_smooth(scores, k1, kb):
 def test_device_smooth_matches_host(seed, n, k1, kb):
     rng = np.random.default_rng(seed)
     scores = _random_scores(rng, n, segment_scale=120)
-    ref_start, ref_type = _host_smooth(scores, k1, kb)
+    ref = _host_smooth_table(scores, k1, kb)
 
     conf = scores.max(1).astype(np.float32)
     pred = scores.argmax(1).astype(np.int32)
-    start, typ, active, count = device_smooth(conf, pred, k1, kb,
-                                              max_segments=4096)
+    start, typ, active, count, mean, end = device_smooth(
+        conf, pred, k1, kb, max_segments=4096)
     assert int(count) <= 4096
     act = np.asarray(active)
-    np.testing.assert_array_equal(np.asarray(start)[act], ref_start)
-    np.testing.assert_array_equal(np.asarray(typ)[act], ref_type)
+    np.testing.assert_array_equal(np.asarray(start)[act], ref["start_frames"])
+    np.testing.assert_array_equal(np.asarray(typ)[act], ref["frame_types"])
+    np.testing.assert_array_equal(np.asarray(end)[act], ref["end_frames"])
+    # Full-table equivalence: the device means must match the host's
+    # post-merge (bug-compat) means, not placeholders.
+    np.testing.assert_allclose(np.asarray(mean)[act], ref["score_means"],
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_device_smooth_single_segment():
@@ -57,7 +69,7 @@ def test_device_smooth_single_segment():
     scores[:, 0] = 4.0
     conf = scores.max(1)
     pred = scores.argmax(1).astype(np.int32)
-    start, typ, active, _ = device_smooth(conf, pred, max_segments=64)
+    start, typ, active, *_ = device_smooth(conf, pred, max_segments=64)
     act = np.asarray(active)
     assert act.sum() == 1
     assert np.asarray(start)[act][0] == 0
@@ -69,7 +81,8 @@ def test_device_smooth_all_orphans_stops():
     # must terminate with a single surviving row (host guard: count > 1).
     pred = np.repeat([0, 1, 2], 5).astype(np.int32)
     conf = np.linspace(1, 2, 15).astype(np.float32)
-    start, typ, active, _ = device_smooth(conf, pred, 100, 10, max_segments=16)
+    start, typ, active, *_ = device_smooth(conf, pred, 100, 10,
+                                           max_segments=16)
     assert np.asarray(active).sum() == 1
 
 
@@ -99,8 +112,8 @@ def test_device_smooth_stress_sweep():
         seg.combine_adjacent_segments(bug_compat=bug)
         conf = scores.max(1).astype(np.float32)
         pred = scores.argmax(1).astype(np.int32)
-        s, t, a, c = device_smooth(conf, pred, k1, kb, max_segments=8192,
-                                   bug_compat=bug)
+        s, t, a, c, *_ = device_smooth(conf, pred, k1, kb, max_segments=8192,
+                                       bug_compat=bug)
         act = np.asarray(a)
         case = f"seed={seed} n={n} scale={scale} k1={k1} kb={kb} bug={bug}"
         if int(c) > 8192:
@@ -122,8 +135,9 @@ def test_bug_compat_flag_device():
     seg = Segmentation(scores)
     seg.glue_orphans(100, 10, bug_compat=False)
     seg.combine_adjacent_segments(bug_compat=False)
-    start, typ, active, _ = device_smooth(conf, pred, 100, 10,
-                                          max_segments=4096, bug_compat=False)
+    start, typ, active, *_ = device_smooth(conf, pred, 100, 10,
+                                           max_segments=4096,
+                                           bug_compat=False)
     act = np.asarray(active)
     np.testing.assert_array_equal(np.asarray(start)[act],
                                   seg.te["start_frames"])

@@ -270,10 +270,50 @@ def test_seek_mismatch_detected(synthetic_video, monkeypatch):
     monkeypatch.setattr(V._Cv2ChunkDecoder, "read", fake_read)
 
     reader = V.ParallelVideoReader(synthetic_video, resize=None,
-                                   num_threads=2, chunk_frames=50)
+                                   num_threads=2, chunk_frames=50,
+                                   heal_seek=False)
     frames = list(reader)
     assert len(frames) == reader.length
     assert reader.seek_mismatches >= 1
+
+
+def test_seek_mismatch_heals_to_sequential(synthetic_video, monkeypatch):
+    """Open-GOP-style corruption (garbage frames after every mid-stream
+    seek) must be repaired: the healed parallel decode equals sequential
+    decode byte-for-byte, not merely counted (VERDICT r1 item 2)."""
+    from cut_detection_tpu.data import video as V
+
+    seq = list(V.VideoFrameSource(synthetic_video, resize=None))
+
+    orig_seek = V._Cv2ChunkDecoder.seek
+    orig_read = V._Cv2ChunkDecoder.read
+
+    def fake_seek(self, idx):
+        orig_seek(self, idx)
+        # Mid-stream seeks land without the prior GOP's reference frames:
+        # the first few decoded frames come out wrong.  Seek to 0 (or a
+        # fresh decoder) is the stream start and decodes cleanly.
+        self._corrupt = 5 if idx > 0 else 0
+
+    def fake_read(self):
+        f = orig_read(self)
+        if getattr(self, "_corrupt", 0) and f is not None:
+            self._corrupt -= 1
+            f = f.copy()
+            f[0, 0, 0] ^= 1
+        return f
+
+    monkeypatch.setattr(V._Cv2ChunkDecoder, "seek", fake_seek)
+    monkeypatch.setattr(V._Cv2ChunkDecoder, "read", fake_read)
+
+    reader = V.ParallelVideoReader(synthetic_video, resize=None,
+                                   num_threads=2, chunk_frames=50)
+    frames = list(reader)
+    assert reader.seek_mismatches >= 1
+    assert reader.chunks_healed == reader.seek_mismatches
+    assert len(frames) == len(seq)
+    for i, (a, b) in enumerate(zip(frames, seq)):
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
 
 
 def test_truncated_video_accounting(tmp_path):
