@@ -12,9 +12,11 @@ Host-side work partitioning for the video pipeline: each host decodes its
 own shard of the video list (``partition_inputs``) so only gradients /
 logits ever cross hosts, never frames.
 
-This round's environment has one chip, so multi-host execution is
-untested here; the API mirrors jax.distributed's standard contract and is
-exercised as a no-op in the single-process configuration.
+Multi-host TPU hardware is not available in this environment, but the
+multi-process path itself IS executed for real: parallel/local_cluster.py
+spawns a 2-process jax.distributed cluster over localhost (4 virtual CPU
+devices each) and runs a cross-process collective, the sharded train step
+and ``partition_inputs`` inside it (tests/test_distributed.py).
 """
 
 from __future__ import annotations
