@@ -13,18 +13,37 @@ traffic).  Geometric transforms are expressed as per-image affine sampling
 grids with static output shapes (a varying-size crop + resize becomes one
 affine gather, XLA-friendly).
 
-Semantics follow the torchvision ops the reference uses:
+Semantics reproduce the torchvision (v0.10, the reference's pin) ops
+exactly at the PARAMETER level, with JAX's counter-based RNG replacing
+torch's global Mersenne Twister (so streams differ but every sampled
+parameter has the same distribution and the same integer/rounding rules):
 
-- affine: angle ~ U(-d, d), translation ~ U(-t, t) * size (per axis),
-  scale ~ U(lo, hi), rotation about the image center, zero fill,
-  nearest-neighbor sampling (torchvision's RandomAffine default).
+- affine (``RandomAffine.get_params``): angle ~ U(-d, d) degrees,
+  translation ~ round(U(-t*size, t*size)) — **integer pixels**, like
+  torchvision — per axis, scale ~ U(lo, hi); rotation about the image
+  center ((size-1)/2, matching the tensor path's grid), zero fill,
+  nearest-neighbor sampling (RandomAffine's default interpolation).  The
+  inverse-matrix formula is torchvision's ``_get_inverse_affine_matrix``
+  with shear=0; tests/test_augment.py checks our grid against that
+  formula transcribed independently in numpy.
 - color jitter: factors ~ U(max(0, 1-v), 1+v) for brightness/contrast/
-  saturation, applied in a random order per image (torchvision semantics;
-  contrast/saturation blend against the grayscale mean / grayscale image).
-- random resized crop: area fraction ~ U(s_lo, s_hi), aspect ratio
-  log-uniform in (r_lo, r_hi), retry-until-fit approximated by clamping the
-  box into bounds (the (1.77, 1.78) ratio band on 16:9 frames virtually
-  always fits); bilinear resample of the box to the target size.
+  saturation, applied in a random order per image.  The per-op math is
+  torchvision's ``_blend`` (clamped to [0,1] for float inputs):
+  brightness = f*img; contrast blends against mean(grayscale(img));
+  saturation blends against grayscale(img); grayscale uses the
+  (0.2989, 0.587, 0.114) weights.  hue=0 in the reference pipeline, so
+  the hue op is absent (torchvision skips a None op in its randperm(4)).
+- random resized crop (``RandomResizedCrop.get_params``): **10-try
+  sampling** of integer boxes — area ~ U(s_lo, s_hi)*A, aspect ratio
+  log-uniform, w/h = round(sqrt(.)), first candidate fitting the image
+  wins; integer offsets ~ randint inclusive of the extremes; on 10
+  failures the **center-crop fallback** (w=W, h=round(W/r_lo) for
+  too-tall inputs etc.).  Bilinear resample of the box to the target
+  size with half-pixel centers (align_corners=False).
+
+Documented divergences: (1) the RNG stream (counter-based vs MT) — only
+distributions match, not draws; (2) nearest-neighbor tie-breaking at
+exact .5 sample coordinates (measure-zero under continuous parameters).
 """
 
 from __future__ import annotations
@@ -102,22 +121,61 @@ def affine_transform(img, angle_rad, translate_xy, scale,
     return _gather_bilinear(img, ys, xs)
 
 
+def affine_params(key, batch: int, img_w: int, img_h: int, *,
+                  degrees: float = 15.0,
+                  translate: tuple[float, float] = (0.2, 0.2),
+                  scale: tuple[float, float] = (1.0, 1.4)):
+    """torchvision ``RandomAffine.get_params`` semantics, batched.
+
+    Returns (angles_rad, tx, ty, scales).  Translations are sampled
+    uniformly in pixels then ROUNDED TO INTEGERS, exactly like
+    torchvision (v0.10 transforms.RandomAffine.get_params:
+    ``tx = int(round(uniform(-max_dx, max_dx)))``) — the v1 divergence
+    VERDICT r1 item 5 flagged.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    angles = jax.random.uniform(k1, (batch,), minval=-degrees,
+                                maxval=degrees) * (math.pi / 180.0)
+    max_dx = translate[0] * img_w
+    max_dy = translate[1] * img_h
+    tx = jnp.round(jax.random.uniform(k2, (batch,), minval=-max_dx,
+                                      maxval=max_dx))
+    ty = jnp.round(jax.random.uniform(k3, (batch,), minval=-max_dy,
+                                      maxval=max_dy))
+    scales = jax.random.uniform(k4, (batch,), minval=scale[0],
+                                maxval=scale[1])
+    return angles, tx, ty, scales
+
+
 def random_affine(key, x, *, degrees: float = 15.0,
                   translate: tuple[float, float] = (0.2, 0.2),
                   scale: tuple[float, float] = (1.0, 1.4)):
     """Batched RandomAffine (learn_contrasts.py:50 parameters)."""
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    angles = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees)
-    angles = angles * (math.pi / 180.0)
-    tx = jax.random.uniform(k2, (b,), minval=-translate[0], maxval=translate[0]) * w
-    ty = jax.random.uniform(k3, (b,), minval=-translate[1], maxval=translate[1]) * h
-    scales = jax.random.uniform(k4, (b,), minval=scale[0], maxval=scale[1])
+    angles, tx, ty, scales = affine_params(
+        key, b, w, h, degrees=degrees, translate=translate, scale=scale)
 
     def one(img, angle, txi, tyi, sc):
         return affine_transform(img, angle, (txi, tyi), sc)
 
     return jax.vmap(one)(x, angles, tx, ty, scales)
+
+
+def adjust_brightness(img, f):
+    """torchvision F.adjust_brightness on float input: _blend(img, 0, f)."""
+    return jnp.clip(img * f, 0.0, 1.0)
+
+
+def adjust_contrast(img, f):
+    """torchvision F.adjust_contrast: _blend(img, mean(grayscale(img)), f)."""
+    mean = jnp.mean(_grayscale(img))
+    return jnp.clip(img * f + (1 - f) * mean, 0.0, 1.0)
+
+
+def adjust_saturation(img, f):
+    """torchvision F.adjust_saturation: _blend(img, grayscale(img), f)."""
+    gray = _grayscale(img)[..., None]
+    return jnp.clip(img * f + (1 - f) * gray, 0.0, 1.0)
 
 
 def color_jitter(key, x, *, brightness: float = 0.4, contrast: float = 0.4,
@@ -137,19 +195,8 @@ def color_jitter(key, x, *, brightness: float = 0.4, contrast: float = 0.4,
                             maxval=1 + saturation)
     order = jax.random.randint(ko, (b,), 0, 6)
 
-    def apply_brightness(img, f):
-        return jnp.clip(img * f, 0.0, 1.0)
-
-    def apply_contrast(img, f):
-        mean = jnp.mean(_grayscale(img))
-        return jnp.clip(img * f + (1 - f) * mean, 0.0, 1.0)
-
-    def apply_saturation(img, f):
-        gray = _grayscale(img)[..., None]
-        return jnp.clip(img * f + (1 - f) * gray, 0.0, 1.0)
-
     perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
-    ops = [apply_brightness, apply_contrast, apply_saturation]
+    ops = [adjust_brightness, adjust_contrast, adjust_saturation]
 
     def one(img, f_b, f_c, f_s, o):
         fs_by_op = (f_b, f_c, f_s)
@@ -166,39 +213,90 @@ def color_jitter(key, x, *, brightness: float = 0.4, contrast: float = 0.4,
     return jax.vmap(one)(x, fb, fc, fs, order)
 
 
+def resized_crop_params(key, batch: int, img_h: int, img_w: int, *,
+                        scale: tuple[float, float] = (0.5, 1.0),
+                        ratio: tuple[float, float] = (1.77, 1.78)):
+    """torchvision ``RandomResizedCrop.get_params`` semantics, batched.
+
+    Per image: 10 candidate integer boxes (w = round(sqrt(area*aspect)),
+    h = round(sqrt(area/aspect))); the FIRST candidate that fits wins;
+    integer offsets ~ randint(0, limit+1).  If all 10 fail, torchvision's
+    center-crop fallback (clamp the aspect ratio to the nearest bound).
+    Returns int32 (i, j, ch, cw) = (row, col, height, width), the exact
+    (i, j, h, w) contract of the torchvision function.
+    """
+    k_area, k_ratio, k_i, k_j = jax.random.split(key, 4)
+    area = float(img_h * img_w)
+    ta = jax.random.uniform(k_area, (batch, 10), minval=scale[0],
+                            maxval=scale[1]) * area
+    log_r = jax.random.uniform(k_ratio, (batch, 10),
+                               minval=math.log(ratio[0]),
+                               maxval=math.log(ratio[1]))
+    aspect = jnp.exp(log_r)
+    ws = jnp.round(jnp.sqrt(ta * aspect)).astype(jnp.int32)
+    hs = jnp.round(jnp.sqrt(ta / aspect)).astype(jnp.int32)
+    valid = (0 < ws) & (ws <= img_w) & (0 < hs) & (hs <= img_h)
+    first = jnp.argmax(valid, axis=1)  # first fitting candidate
+    any_valid = jnp.any(valid, axis=1)
+    rows = jnp.arange(batch)
+    w_sel = ws[rows, first]
+    h_sel = hs[rows, first]
+
+    # Center-crop fallback (static given the input shape and ratio band).
+    in_ratio = img_w / img_h
+    if in_ratio < ratio[0]:
+        fw = img_w
+        fh = int(round(fw / ratio[0]))
+    elif in_ratio > ratio[1]:
+        fh = img_h
+        fw = int(round(fh * ratio[1]))
+    else:
+        fw, fh = img_w, img_h
+    fi, fj = (img_h - fh) // 2, (img_w - fw) // 2
+
+    cw = jnp.where(any_valid, w_sel, fw)
+    ch = jnp.where(any_valid, h_sel, fh)
+    # randint upper bound is exclusive; torchvision draws from
+    # [0, limit - size + 1) exclusive == inclusive of the last offset.
+    i_rand = jax.random.randint(k_i, (batch,), 0, img_h - ch + 1)
+    j_rand = jax.random.randint(k_j, (batch,), 0, img_w - cw + 1)
+    i = jnp.where(any_valid, i_rand, fi).astype(jnp.int32)
+    j = jnp.where(any_valid, j_rand, fj).astype(jnp.int32)
+    return i, j, ch, cw
+
+
+def resized_crop(img, i, j, ch, cw, size: tuple[int, int]):
+    """Deterministic crop-box -> bilinear resize (align_corners=False,
+    torchvision F.resized_crop tensor-path semantics), one affine gather."""
+    out_h, out_w = size
+    ys_unit = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    xs_unit = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    # Clamp to the crop box: torchvision crops FIRST, so border samples
+    # replicate the crop's edge rows/cols, not the image's neighbors.
+    ys = jnp.clip(i + ys_unit * ch - 0.5, i, i + ch - 1)
+    xs = jnp.clip(j + xs_unit * cw - 0.5, j, j + cw - 1)
+    grid_y = jnp.broadcast_to(ys[:, None], (out_h, out_w))
+    grid_x = jnp.broadcast_to(xs[None, :], (out_h, out_w))
+    return _gather_bilinear(img, grid_y, grid_x)
+
+
 def random_resized_crop(key, x, *, size: tuple[int, int] = (144, 256),
                         scale: tuple[float, float] = (0.5, 1.0),
                         ratio: tuple[float, float] = (1.77, 1.78)):
     """Batched RandomResizedCrop (learn_contrasts.py:52-55 parameters).
 
-    Crop box sampled in the input, then bilinearly resampled to ``size`` —
-    both expressed as one affine gather so shapes stay static.
+    Integer boxes via ``resized_crop_params`` (torchvision 10-try +
+    center-crop fallback), then bilinear resample of the box to ``size``
+    as one affine gather so shapes stay static.
     """
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
-    out_h, out_w = size
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    area = h * w
-    target_area = jax.random.uniform(k1, (b,), minval=scale[0],
-                                     maxval=scale[1]) * area
-    log_ratio = jax.random.uniform(
-        k2, (b,), minval=math.log(ratio[0]), maxval=math.log(ratio[1]))
-    aspect = jnp.exp(log_ratio)
-    cw = jnp.clip(jnp.sqrt(target_area * aspect), 1.0, w)
-    ch = jnp.clip(jnp.sqrt(target_area / aspect), 1.0, h)
-    x0 = jax.random.uniform(k3, (b,)) * (w - cw)
-    y0 = jax.random.uniform(k4, (b,)) * (h - ch)
+    i, j, ch, cw = resized_crop_params(key, b, h, w, scale=scale,
+                                       ratio=ratio)
 
-    ys_unit = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
-    xs_unit = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    def one(img, ii, jj, chi, cwi):
+        return resized_crop(img, ii, jj, chi, cwi, size)
 
-    def one(img, y0i, x0i, chi, cwi):
-        ys = y0i + ys_unit * chi - 0.5
-        xs = x0i + xs_unit * cwi - 0.5
-        grid_y = jnp.broadcast_to(ys[:, None], (out_h, out_w))
-        grid_x = jnp.broadcast_to(xs[None, :], (out_h, out_w))
-        return _gather_bilinear(img, grid_y, grid_x)
-
-    return jax.vmap(one)(x, y0, x0, ch, cw)
+    return jax.vmap(one)(x, i, j, ch, cw)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))

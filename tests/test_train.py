@@ -273,12 +273,22 @@ def test_contrastive_step_runs_and_improves():
     state = init_contrastive_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     x = rng.integers(0, 255, size=(8, 72, 128, 3), dtype=np.uint8)
+    # Per-step losses are noisy (each step draws fresh random views), so
+    # measure improvement on a FIXED evaluation key: same views, params
+    # before vs after training.  (step returns the loss at the current
+    # params, before the update, so this does not perturb the comparison.)
+    eval_key = jax.random.PRNGKey(99)
+
+    def eval_loss(s):
+        _, m = step(s, eval_key, x)
+        return float(m["loss"])
+
+    loss_before = eval_loss(state)
     key = jax.random.PRNGKey(1)
     losses = []
-    for i in range(12):
+    for i in range(30):
         key, sub = jax.random.split(key)
         state, metrics = step(state, sub, x)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    # On a tiny fixed batch the contrastive loss should trend down.
-    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert eval_loss(state) < loss_before
