@@ -1,0 +1,99 @@
+"""Generate the labeled evaluation corpus (tests/eval_corpus/).
+
+The reference ships no labeled evaluation data at all (SURVEY.md §4); this
+corpus exists so the rebuild's precision ladder (float32 / bfloat16 /
+bfloat16_full / int8-experimental) is gated on segment-boundary
+precision/recall and frame accuracy against FIXED ground truth, not just
+"0 argmax flips on fixtures" (VERDICT r1 item 6, docs/ROADMAP.md #5).
+
+Labels are correct BY CONSTRUCTION: each block's base color was probed at
+model resolution (256x144, constant + U(0,30) noise; the committed clips
+use 384x216 + U(0,8) noise, which only widens the margins while keeping
+the mp4s small enough to commit) to be classified by
+the float32 prod net with a wide logit margin:
+
+    a22: (60,60,140) margin 7.9   (0,60,120) 8.7   (80,140,200) 7.5
+    ez:  (160,160,30) margin 6.3
+    b:   (10,10,10)  margin 2.9   (40,120,40) 2.4
+
+(BGR tuples, frameID prod classifier.)  The committed truth CSVs are the
+designed block labels — independent of every pipeline mode under test.
+Block lengths respect the smoother's defaults (non-blank >= 120 frames >
+base_threshold=100; blank >= 15 > blank_threshold=10) so the designed
+segmentation is a fixed point of orphan gluing.
+
+Deterministic: re-running reproduces the same files byte-for-byte given
+the same OpenCV build (the exact pin in setup.py).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import cv2
+import numpy as np
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "eval_corpus")
+
+A22_1, A22_2, A22_3 = (60, 60, 140), (0, 60, 120), (80, 140, 200)
+EZ = (160, 160, 30)
+B_1, B_2 = (10, 10, 10), (40, 120, 40)
+
+# Each clip: list of (label, n_frames, bgr_color).
+CLIPS = {
+    "corpus_a": [
+        ("a22", 150, A22_1), ("b", 20, B_1), ("ez", 140, EZ),
+        ("a22", 130, A22_2), ("b", 30, B_2), ("ez", 120, EZ),
+    ],
+    "corpus_b": [
+        ("b", 40, B_1), ("a22", 200, A22_3), ("ez", 160, EZ),
+        ("b", 15, B_1), ("a22", 120, A22_1),
+    ],
+    "corpus_c": [
+        ("ez", 130, EZ), ("b", 25, B_2), ("a22", 260, A22_2),
+        ("ez", 125, EZ),
+    ],
+}
+
+
+def write_clip(path: str, blocks, seed: int, w: int = 384,
+               h: int = 216) -> list[tuple[int, str]]:
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    assert wr.isOpened(), path
+    rng = np.random.default_rng(seed)
+    truth = []
+    frame = 0
+    for label, n, color in blocks:
+        truth.append((frame, label))
+        base = np.full((h, w, 3), color, np.uint8)
+        for _ in range(n):
+            wr.write(cv2.add(base,
+                             rng.integers(0, 8, (h, w, 3), dtype=np.uint8)))
+        frame += n
+    wr.release()
+    return truth
+
+
+def write_truth(path: str, truth: list[tuple[int, str]]) -> None:
+    # Same dialect as the pipeline CSVs: \r\n, no header.
+    with open(path, "w", newline="") as f:
+        wtr = csv.writer(f)
+        for row in truth:
+            wtr.writerow(row)
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for seed, (name, blocks) in enumerate(sorted(CLIPS.items())):
+        clip = os.path.join(OUT_DIR, f"{name}.mp4")
+        truth = write_clip(clip, blocks, seed)
+        write_truth(os.path.join(OUT_DIR, f"{name}_truth.csv"), truth)
+        n = sum(b[1] for b in blocks)
+        print(f"{name}: {n} frames, {len(blocks)} segments, "
+              f"{os.path.getsize(clip)} bytes")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Precision-ladder accuracy gate on the labeled evaluation corpus.
+
+tests/eval_corpus/ holds synthetic clips whose per-block class labels are
+correct BY CONSTRUCTION (scripts/make_eval_corpus.py probes block colors
+against the float32 prod net at wide logit margins; the committed truth
+CSVs are those designed labels, independent of every mode under test).
+
+Every precision mode — and the experimental int8 path — must hold
+segment-boundary precision/recall and frame accuracy against that fixed
+truth (VERDICT r1 item 6): "0 argmax flips on fixtures" is replaced by an
+actual accuracy gate that runs in CI with the rest of the suite.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cut_detection_tpu.cli.evaluate import evaluate
+from cut_detection_tpu.pipeline import segment_video_file
+
+CORPUS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "eval_corpus")
+CORPUS = [("corpus_a", 590), ("corpus_b", 535), ("corpus_c", 540)]
+
+FRAME_ACC_MIN = 0.99
+BOUNDARY_MIN = 0.90
+TOLERANCE = 30  # frames (1s @30fps)
+
+
+def _clip(name):
+    return os.path.join(CORPUS_DIR, f"{name}.mp4")
+
+
+def _truth(name):
+    return os.path.join(CORPUS_DIR, f"{name}_truth.csv")
+
+
+def _gate(pred_csv, name, num_frames, *, frame_min=FRAME_ACC_MIN,
+          boundary_min=BOUNDARY_MIN):
+    res = evaluate(pred_csv, _truth(name), num_frames, tolerance=TOLERANCE)
+    assert res["frame_accuracy"] >= frame_min, (name, res)
+    assert res["boundary_precision"] >= boundary_min, (name, res)
+    assert res["boundary_recall"] >= boundary_min, (name, res)
+    return res
+
+
+def test_float32_full_corpus(tmp_path):
+    """Strict-parity mode must match the designed truth on every clip."""
+    for name, n in CORPUS:
+        out = str(tmp_path / f"{name}.csv")
+        segment_video_file(_clip(name), out, print_every=0,
+                           precision="float32")
+        res = _gate(out, name, n)
+        # The corpus is designed to be a fixed point of the smoother:
+        # float32 should recover it exactly.
+        assert res["frame_accuracy"] == 1.0, (name, res)
+
+
+@pytest.mark.parametrize("precision", ["bfloat16", "bfloat16_full"])
+def test_bf16_modes_hold_accuracy(precision, tmp_path):
+    name, n = CORPUS[0]  # corpus_a exercises all three classes
+    out = str(tmp_path / f"{name}_{precision}.csv")
+    segment_video_file(_clip(name), out, print_every=0, precision=precision)
+    _gate(out, name, n)
+
+
+def test_quantized_int8_holds_accuracy(tmp_path):
+    """The experimental int8 op is gated on the same corpus (slightly
+    looser frame bound: its logits differ up to ~0.4)."""
+    from cut_detection_tpu.data.video import VideoFrameSource, batch_frames
+    from cut_detection_tpu.models.assembly import load_default_net
+    from cut_detection_tpu.ops.quantized import (
+        quantize_bundle,
+        quantized_glued_apply,
+    )
+    from cut_detection_tpu.segmentation.rle import Segmentation
+
+    net, _ = load_default_net()
+    qb = quantize_bundle(net.bundle)
+    name, n = CORPUS[0]
+    confs, preds = [], []
+    src = VideoFrameSource(_clip(name), resize=256)
+    for batch, valid in batch_frames(src, 128):
+        logits = np.asarray(quantized_glued_apply(
+            qb, batch, conv_cfg=net.conv_cfg, linear_cfg=net.linear_cfg))
+        confs.append(logits.max(1)[:valid])
+        preds.append(logits.argmax(1)[:valid])
+    conf = np.concatenate(confs).astype(np.float32)
+    pred = np.concatenate(preds).astype(np.int64)
+    seg = Segmentation.from_frame_scores(conf, pred)
+    seg.glue_orphans(100, 10)
+    seg.combine_adjacent_segments()
+    out = str(tmp_path / "quantized.csv")
+    seg.write_csv(out)
+    _gate(out, name, n, frame_min=0.98, boundary_min=0.85)

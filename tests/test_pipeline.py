@@ -277,6 +277,50 @@ def test_seek_mismatch_detected(synthetic_video, monkeypatch):
     assert reader.seek_mismatches >= 1
 
 
+def test_async_dispatch_overlaps_host_work():
+    """The pipeline's claim that async dispatch hides host decode behind
+    device time, demonstrated: dispatch-then-decode interleaving beats
+    decode-then-wait serial execution by a wide margin (VERDICT r1
+    item 3).  Uses sleep for the 'decode' so host work takes no CPU and
+    the overlap is attributable to async dispatch alone."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def heavy(x):
+        for _ in range(4):
+            x = jnp.tanh(x @ x)
+        return x
+
+    x = jnp.ones((600, 600), jnp.float32)
+    np.asarray(heavy(x))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(heavy(x))
+    t_step = time.perf_counter() - t0
+    n, sleep_s = 6, t_step
+
+    t0 = time.perf_counter()
+    for _ in range(n):  # serial: decode, then wait for the device
+        time.sleep(sleep_s)
+        np.asarray(heavy(x))
+    serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(n):  # pipelined: dispatch, decode while device runs
+        outs.append(heavy(x))
+        time.sleep(sleep_s)
+    for o in outs:
+        o.block_until_ready()
+    overlapped = time.perf_counter() - t0
+
+    # Perfect overlap would be ~0.5x serial (+1 step tail); 0.85 leaves
+    # slack for a noisy shared host while still proving real overlap.
+    assert overlapped < 0.85 * serial, (overlapped, serial)
+
+
 def test_seek_mismatch_heals_to_sequential(synthetic_video, monkeypatch):
     """Open-GOP-style corruption (garbage frames after every mid-stream
     seek) must be repaired: the healed parallel decode equals sequential
