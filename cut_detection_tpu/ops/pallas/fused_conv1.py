@@ -1,0 +1,202 @@
+"""Fused layer-1 Mosaic kernel: conv3x3 + ReLU + maxpool3 + BN, one pass.
+
+The bf16_full pipeline is ~70% HBM-bound on layer 1's activation round
+trip: XLA materializes the [144, 256, 48] conv output (3.5 MB bf16 per
+frame, written + re-read around the pool) because reduce_window does not
+fuse into a convolution.  This kernel keeps that tensor in VMEM: uint8
+pixels stream in, pooled+BN'd bf16 activations stream out, cutting
+layer-1 HBM traffic from ~7 MB to ~0.5 MB per frame.
+
+Matches CNNLayer's exact op order — conv(pad 1) -> ReLU -> maxpool(3,3)
+-> eval BatchNorm (frameID/net.py:33-40) — for the bfloat16_full
+numerics (bf16 operands, f32 accumulation, bf16 pooled activations).
+
+Design (the batch-amortized tap assembly docs/ROADMAP.md #3 called for,
+replacing the per-row im2col that sank ops/pallas/conv1_kernel.py):
+
+- Input is pre-padded planar uint8 ``[B, 3, (H+2)*W]`` — each channel one
+  flat lane vector, so every conv tap (dy, dx, c) of a row strip is ONE
+  shifted lane-slice of it: 27 vectorized copies assemble the whole
+  strip's im2col matrix ``A [32, rows*W]`` with no per-pixel work and no
+  lane<->sublane relayout (taps live in sublanes = the MXU's K dim).
+- One matmul per strip: ``W2 [48, 32] @ A [32, rows*W]`` (bf16 x bf16,
+  f32 accumulate) == all 48 output channels of every pixel in the strip.
+- ReLU in f32, cast bf16 (the shipped XLA path also has bf16 conv
+  activations), pool as two lane-roll maxes (rows are W apart in the
+  flat layout) + a stride-3 lane slice, then the BN affine
+  (scale = gamma/sqrt(var+eps), offset = beta - mean*scale) and the
+  NHWC write.
+- Grid = (B,): Pallas double-buffers the uint8 input blocks and output
+  blocks across images (streaming HBM<->VMEM overlapped with compute).
+
+Weight padding note: A's tap rows 27..31 are zeroed once (first grid
+step; scratch persists) because W2's padded columns are zero and
+0 * garbage could be NaN.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cut_detection_tpu.ops.nn import BN_EPS
+
+_K_PAD = 32  # 27 taps padded to the sublane tile
+
+
+def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
+            xbf_ref, a_ref, *, h: int, w: int, strip_rows: int,
+            out_w: int, out_dtype, f32_dot: bool = False):
+    """One image per grid step.
+
+    x_ref:    [1, 3, (h+2)*w] uint8 (H zero-padded by 1 top/bottom)
+    w_ref:    [48, 32] bf16 (HWIO-flattened taps, k = (dy*3+dx)*3 + c)
+    bias/scale/offset: [48, 1] f32
+    out_ref:  [1, h//3, out_w, 48] out_dtype
+    xbf_ref:  [3, (h+2)*w + 2] bf16 scratch (front/back pad for dx=-1/+1)
+    a_ref:    [32, strip_rows*w] bf16 scratch (the strip im2col matrix)
+    """
+    n_strips = h // strip_rows
+    pooled_rows = strip_rows // 3
+    flat = (h + 2) * w
+    m = strip_rows * w
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        # Zero the padded tap rows once (see module docstring) and the
+        # one-lane left/right guards of the channel planes.
+        a_ref[27:32, :] = jnp.zeros((5, m), jnp.bfloat16)
+        xbf_ref[:, 0:1] = jnp.zeros((3, 1), jnp.bfloat16)
+        xbf_ref[:, flat + 1:flat + 2] = jnp.zeros((3, 1), jnp.bfloat16)
+
+    # uint8 -> bf16 once per image (all values 0..255 are exact in bf16).
+    xbf_ref[:, 1:flat + 1] = x_ref[0].astype(jnp.bfloat16)
+
+    # x-edge masks: tap dx reads flat lane j + dy*w + dx - 1 of the padded
+    # plane; at x == 0 the dx=0 tap must be the zero pad (not the previous
+    # row's last pixel), at x == w-1 the dx=2 tap likewise.
+    lane_x = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) % w
+    left_edge = lane_x == 0
+    right_edge = lane_x == w - 1
+    zero_row = jnp.zeros((1, m), jnp.bfloat16)
+
+    for s in range(n_strips):
+        base = s * strip_rows * w  # strip's first flat lane (padded coords)
+        for dy in range(3):
+            for dx in range(3):
+                for c in range(3):
+                    k = (dy * 3 + dx) * 3 + c
+                    # +1 for the guard lane; dx-1 tap offset.
+                    start = base + dy * w + dx
+                    tap = xbf_ref[c, pl.ds(start, m)].reshape(1, m)
+                    if dx == 0:
+                        tap = jnp.where(left_edge, zero_row, tap)
+                    elif dx == 2:
+                        tap = jnp.where(right_edge, zero_row, tap)
+                    a_ref[k, :] = tap.reshape(m)
+
+        # All channels x all pixels of the strip in one MXU contraction.
+        # (Interpret mode upcasts: XLA:CPU's DotThunk lacks bf16xbf16=f32,
+        # and bf16 values are exact in f32, so results are identical.)
+        lhs, rhs = w_ref[:], a_ref[:]
+        if f32_dot:
+            lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            lhs, rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [48, m]
+        z = jnp.maximum(acc + bias_ref[:], 0.0).astype(jnp.bfloat16)
+
+        # maxpool 3x3 stride 3.  Rows are w lanes apart: two left-rolls
+        # reduce over dy (wrap garbage only lands on rows >= strip_rows-2,
+        # which the stride-3 row selection below never picks for valid
+        # outputs); two more reduce over dx within rows.  pltpu.roll only
+        # takes non-negative shifts, so left-by-k is roll by m-k.
+        def lroll(v, k):
+            return pltpu.roll(v, m - k, 1)
+
+        zy = jnp.maximum(z, jnp.maximum(lroll(z, w), lroll(z, 2 * w)))
+        zx = jnp.maximum(zy, jnp.maximum(lroll(zy, 1), lroll(zy, 2)))
+        # Valid pooled value at lane (3t)*w + 3u -> stride-3 lanes, then
+        # split lanes back into rows: index (3t*w + 3u)/3 == t*w + u.
+        zsel = zx[:, ::3].reshape(48, pooled_rows, w)[:, :, :out_w]
+        pooled = zsel.astype(jnp.float32) * scale_ref[:].reshape(48, 1, 1) \
+            + offset_ref[:].reshape(48, 1, 1)
+        out_ref[0, s * pooled_rows:(s + 1) * pooled_rows] = (
+            pooled.astype(out_dtype).transpose(1, 2, 0))
+
+
+def _strip_rows_for(h: int) -> int:
+    """Largest strip height <= 48 that tiles h into pool-aligned strips."""
+    for n in range(-(-h // 48), h + 1):
+        if h % n == 0 and (h // n) % 3 == 0:
+            return h // n
+    raise ValueError(f"height {h} not divisible into pool-aligned strips")
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
+                     *, out_dtype=jnp.bfloat16, interpret: bool = False):
+    """Layer 1 of the prod stack, fused: uint8 NHWC frames -> pooled NHWC.
+
+    x_u8:   [B, H, W, 3] uint8 (raw BGR; pass the *folded* layer-1 kernel
+            from assembly.fold_preprocess so the BGR flip + /255 are
+            already absorbed into the weights)
+    kernel: [3, 3, 3, 48] HWIO float32, bias/gamma/beta/mean/var: [48]
+    returns [B, H//3, (W-3)//3 + 1, 48] in ``out_dtype``
+
+    Semantics parity: conv2d_same -> relu -> max_pool(3) ->
+    batch_norm_infer at bfloat16_full numerics (ops/nn.py, layers.py).
+    """
+    b, h, w, cin = x_u8.shape
+    assert cin == 3 and h % 3 == 0, (h, w, cin)
+    strip_rows = _strip_rows_for(h)
+    out_h, out_w = h // 3, (w - 3) // 3 + 1
+
+    # Planar + H-padded + flattened view of the frames (one cheap XLA
+    # relayout; ~0.2 MB/frame of HBM traffic vs the ~7 MB the fusion
+    # saves).
+    xp = jnp.pad(x_u8, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    xflat = xp.transpose(0, 3, 1, 2).reshape(b, 3, (h + 2) * w)
+
+    w2 = kernel.reshape(9 * cin, 48)  # k = (dy*3 + dx)*3 + c (HWIO order)
+    w2 = jnp.pad(w2, ((0, _K_PAD - 9 * cin), (0, 0)))
+    w2t = w2.T.astype(jnp.bfloat16)  # [48, 32]
+
+    scale = (gamma / jnp.sqrt(var + BN_EPS)).astype(jnp.float32)
+    offset = (beta - mean * scale).astype(jnp.float32)
+
+    kern = functools.partial(_kernel, h=h, w=w, strip_rows=strip_rows,
+                             out_w=out_w, out_dtype=out_dtype,
+                             f32_dot=interpret)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, (h + 2) * w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, out_h, out_w, 48), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, out_h, out_w, 48), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, (h + 2) * w + 2), jnp.bfloat16),
+            pltpu.VMEM((_K_PAD, strip_rows * w), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 27 * 48,
+            bytes_accessed=b * (3 * h * w + out_h * out_w * 48 * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xflat, w2t, bias.astype(jnp.float32).reshape(48, 1),
+      scale.reshape(48, 1), offset.reshape(48, 1))
