@@ -49,86 +49,84 @@ _K_PAD = 32  # 27 taps padded to the sublane tile
 
 
 def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
-            xbf_ref, a_ref, *, h: int, w: int, strip_rows: int,
+            xbf_ref, a_ref, *, h: int, w: int, ws: int, strip_rows: int,
             out_w: int, out_dtype, f32_dot: bool = False):
     """One image per grid step.
 
-    x_ref:    [1, 3, (h+2)*w] uint8 (H zero-padded by 1 top/bottom)
+    x_ref:    [1, 3, (h+2)*ws] uint8 (H zero-padded by 1 top/bottom; each
+              row stored with stride ws = 3*ceil((w+1)/3), the extra
+              lanes zero.  The in-row zero pad doubles as the conv's x
+              padding, so no edge masks are needed: the left neighbor of
+              x=0 is the previous row's zero pad, the right neighbor of
+              x=w-1 is this row's own pad)
     w_ref:    [48, 32] bf16 (HWIO-flattened taps, k = (dy*3+dx)*3 + c)
-    bias/scale/offset: [48, 1] f32
+    bias/scale/offset: [1, 48] f32
     out_ref:  [1, h//3, out_w, 48] out_dtype
-    xbf_ref:  [3, (h+2)*w + 2] bf16 scratch (front/back pad for dx=-1/+1)
-    a_ref:    [32, strip_rows*w] bf16 scratch (the strip im2col matrix)
+    xbf_ref:  [3, (h+2)*ws + 2] bf16 scratch (front/back guard lanes)
+    a_ref:    [32, strip_rows*ws] bf16 scratch (the strip im2col matrix)
     """
     n_strips = h // strip_rows
     pooled_rows = strip_rows // 3
-    flat = (h + 2) * w
-    m = strip_rows * w
+    ws3 = ws // 3
+    flat = (h + 2) * ws
+    m = strip_rows * ws
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         # Zero the padded tap rows once (see module docstring) and the
-        # one-lane left/right guards of the channel planes.
+        # one-lane front/back guards of the channel planes.
         a_ref[27:32, :] = jnp.zeros((5, m), jnp.bfloat16)
         xbf_ref[:, 0:1] = jnp.zeros((3, 1), jnp.bfloat16)
         xbf_ref[:, flat + 1:flat + 2] = jnp.zeros((3, 1), jnp.bfloat16)
 
     # uint8 -> bf16 once per image (all values 0..255 are exact in bf16).
-    xbf_ref[:, 1:flat + 1] = x_ref[0].astype(jnp.bfloat16)
-
-    # x-edge masks: tap dx reads flat lane j + dy*w + dx - 1 of the padded
-    # plane; at x == 0 the dx=0 tap must be the zero pad (not the previous
-    # row's last pixel), at x == w-1 the dx=2 tap likewise.
-    lane_x = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) % w
-    left_edge = lane_x == 0
-    right_edge = lane_x == w - 1
-    zero_row = jnp.zeros((1, m), jnp.bfloat16)
+    # Mosaic can't cast unsigned -> float; hop u8 -> i32 -> f32 -> bf16.
+    xbf_ref[:, 1:flat + 1] = (x_ref[0].astype(jnp.int32)
+                              .astype(jnp.float32).astype(jnp.bfloat16))
 
     for s in range(n_strips):
-        base = s * strip_rows * w  # strip's first flat lane (padded coords)
+        base = s * strip_rows * ws  # strip's first flat lane (padded coords)
         for dy in range(3):
             for dx in range(3):
                 for c in range(3):
                     k = (dy * 3 + dx) * 3 + c
-                    # +1 for the guard lane; dx-1 tap offset.
-                    start = base + dy * w + dx
-                    tap = xbf_ref[c, pl.ds(start, m)].reshape(1, m)
-                    if dx == 0:
-                        tap = jnp.where(left_edge, zero_row, tap)
-                    elif dx == 2:
-                        tap = jnp.where(right_edge, zero_row, tap)
-                    a_ref[k, :] = tap.reshape(m)
+                    # +1 for the front guard; dx-1 tap offset.  Row pads
+                    # are zero, so x edges need no masking (docstring).
+                    start = base + dy * ws + dx
+                    a_ref[k, :] = xbf_ref[c, pl.ds(start, m)]
 
-        # All channels x all pixels of the strip in one MXU contraction.
-        # (Interpret mode upcasts: XLA:CPU's DotThunk lacks bf16xbf16=f32,
-        # and bf16 values are exact in f32, so results are identical.)
-        lhs, rhs = w_ref[:], a_ref[:]
+        # All channels x all pixels of the strip in one MXU contraction,
+        # oriented [m, 48] so pixels land in sublanes and channels in
+        # lanes — pooling then only ever splits sublane dims into outer
+        # dims, the one reshape family Mosaic supports natively (lane-dim
+        # strides would lower to unsupported gathers).  (Interpret mode
+        # upcasts: XLA:CPU's DotThunk lacks bf16xbf16=f32; bf16 values
+        # are exact in f32, so results are identical.)
+        lhs, rhs = a_ref[:], w_ref[:]
         if f32_dot:
             lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
         acc = jax.lax.dot_general(
             lhs, rhs,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [48, m]
-        z = jnp.maximum(acc + bias_ref[:], 0.0).astype(jnp.bfloat16)
+        )  # [m, 48]
+        z = jnp.maximum(acc + bias_ref[:], 0.0)
+        z = z.astype(jnp.bfloat16)
 
-        # maxpool 3x3 stride 3.  Rows are w lanes apart: two left-rolls
-        # reduce over dy (wrap garbage only lands on rows >= strip_rows-2,
-        # which the stride-3 row selection below never picks for valid
-        # outputs); two more reduce over dx within rows.  pltpu.roll only
-        # takes non-negative shifts, so left-by-k is roll by m-k.
-        def lroll(v, k):
-            return pltpu.roll(v, m - k, 1)
-
-        zy = jnp.maximum(z, jnp.maximum(lroll(z, w), lroll(z, 2 * w)))
-        zx = jnp.maximum(zy, jnp.maximum(lroll(zy, 1), lroll(zy, 2)))
-        # Valid pooled value at lane (3t)*w + 3u -> stride-3 lanes, then
-        # split lanes back into rows: index (3t*w + 3u)/3 == t*w + u.
-        zsel = zx[:, ::3].reshape(48, pooled_rows, w)[:, :, :out_w]
-        pooled = zsel.astype(jnp.float32) * scale_ref[:].reshape(48, 1, 1) \
-            + offset_ref[:].reshape(48, 1, 1)
+        # maxpool 3x3 stride 3.  ws % 3 == 0 makes the x-windows of every
+        # row line up with consecutive flat triples, so the whole strip's
+        # x-reduction is one (m/3, 3, 48) split; the y-reduction then
+        # splits pure outer dims.  Window u = ws3-1 (and any window
+        # touching the row pad, x >= w-2) is garbage and sliced away —
+        # valid windows end at x = 3*(out_w-1)+2 <= w-1.
+        vx = jnp.max(z.reshape(m // 3, 3, 48), axis=1)   # [rows*ws3, 48]
+        vr = vx.reshape(strip_rows, ws3, 48)
+        vy = jnp.max(vr.reshape(pooled_rows, 3, ws3, 48), axis=1)
+        pooled = vy[:, :out_w, :]                        # [pooled_rows, out_w, 48]
+        pooled = pooled.astype(jnp.float32) * scale_ref[:].reshape(1, 1, 48) \
+            + offset_ref[:].reshape(1, 1, 48)
         out_ref[0, s * pooled_rows:(s + 1) * pooled_rows] = (
-            pooled.astype(out_dtype).transpose(1, 2, 0))
+            pooled.astype(out_dtype))
 
 
 def _strip_rows_for(h: int) -> int:
@@ -157,12 +155,15 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
     assert cin == 3 and h % 3 == 0, (h, w, cin)
     strip_rows = _strip_rows_for(h)
     out_h, out_w = h // 3, (w - 3) // 3 + 1
+    # Row stride: multiple of 3 (pool windows align with flat triples)
+    # with >= 1 zero pad lane (doubles as the conv's x zero padding).
+    ws = 3 * (-(-(w + 1) // 3))
 
-    # Planar + H-padded + flattened view of the frames (one cheap XLA
+    # Planar + padded + flattened view of the frames (one cheap XLA
     # relayout; ~0.2 MB/frame of HBM traffic vs the ~7 MB the fusion
     # saves).
-    xp = jnp.pad(x_u8, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    xflat = xp.transpose(0, 3, 1, 2).reshape(b, 3, (h + 2) * w)
+    xp = jnp.pad(x_u8, ((0, 0), (1, 1), (0, ws - w), (0, 0)))
+    xflat = xp.transpose(0, 3, 1, 2).reshape(b, 3, (h + 2) * ws)
 
     w2 = kernel.reshape(9 * cin, 48)  # k = (dy*3 + dx)*3 + c (HWIO order)
     w2 = jnp.pad(w2, ((0, _K_PAD - 9 * cin), (0, 0)))
@@ -171,14 +172,14 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
     scale = (gamma / jnp.sqrt(var + BN_EPS)).astype(jnp.float32)
     offset = (beta - mean * scale).astype(jnp.float32)
 
-    kern = functools.partial(_kernel, h=h, w=w, strip_rows=strip_rows,
-                             out_w=out_w, out_dtype=out_dtype,
-                             f32_dot=interpret)
+    kern = functools.partial(_kernel, h=h, w=w, ws=ws,
+                             strip_rows=strip_rows, out_w=out_w,
+                             out_dtype=out_dtype, f32_dot=interpret)
     return pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 3, (h + 2) * w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, (h + 2) * ws), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -189,8 +190,8 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, out_h, out_w, 48), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, (h + 2) * w + 2), jnp.bfloat16),
-            pltpu.VMEM((_K_PAD, strip_rows * w), jnp.bfloat16),
+            pltpu.VMEM((3, (h + 2) * ws + 2), jnp.bfloat16),
+            pltpu.VMEM((_K_PAD, strip_rows * ws), jnp.bfloat16),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * 27 * 48,
@@ -198,5 +199,5 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xflat, w2t, bias.astype(jnp.float32).reshape(48, 1),
-      scale.reshape(48, 1), offset.reshape(48, 1))
+    )(xflat, w2t, bias.astype(jnp.float32).reshape(1, 48),
+      scale.reshape(1, 48), offset.reshape(1, 48))
