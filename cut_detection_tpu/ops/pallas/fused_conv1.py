@@ -19,13 +19,17 @@ replacing the per-row im2col that sank ops/pallas/conv1_kernel.py):
   shifted lane-slice of it: 27 vectorized copies assemble the whole
   strip's im2col matrix ``A [32, rows*W]`` with no per-pixel work and no
   lane<->sublane relayout (taps live in sublanes = the MXU's K dim).
-- One matmul per strip: ``W2 [48, 32] @ A [32, rows*W]`` (bf16 x bf16,
-  f32 accumulate) == all 48 output channels of every pixel in the strip.
+- One matmul per strip: ``A [rows*ws, 32] @ W2.T [32, 48]`` (bf16 x
+  bf16, f32 accumulate) == all 48 output channels of every pixel in the
+  strip, oriented pixels-in-sublanes / channels-in-lanes so the output
+  is already NHWC-shaped.
 - ReLU in f32, cast bf16 (the shipped XLA path also has bf16 conv
-  activations), pool as two lane-roll maxes (rows are W apart in the
-  flat layout) + a stride-3 lane slice, then the BN affine
-  (scale = gamma/sqrt(var+eps), offset = beta - mean*scale) and the
-  NHWC write.
+  activations), then maxpool with no vector reshapes at all (Mosaic
+  rejects shape casts that split the sublane dim by 3): the x-reduction
+  is an elementwise max of the three stride-3 phases via
+  ``tpu.strided_load``, the y-reduction a max of three contiguous
+  row-block slices per pooled row, then the BN affine
+  (scale = gamma/sqrt(var+eps), offset = beta - mean*scale).
 - Grid = (B,): Pallas double-buffers the uint8 input blocks and output
   blocks across images (streaming HBM<->VMEM overlapped with compute).
 
@@ -49,8 +53,9 @@ _K_PAD = 32  # 27 taps padded to the sublane tile
 
 
 def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
-            xbf_ref, a_ref, *, h: int, w: int, ws: int, strip_rows: int,
-            out_w: int, out_dtype, f32_dot: bool = False):
+            xbf_ref, a_ref, z_ref, v_ref, *, h: int, w: int, ws: int,
+            strip_rows: int, out_w: int, out_dtype,
+            interpret: bool = False):
     """One image per grid step.
 
     x_ref:    [1, 3, (h+2)*ws] uint8 (H zero-padded by 1 top/bottom; each
@@ -64,6 +69,9 @@ def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
     out_ref:  [1, h//3, out_w, 48] out_dtype
     xbf_ref:  [3, (h+2)*ws + 2] bf16 scratch (front/back guard lanes)
     a_ref:    [32, strip_rows*ws] bf16 scratch (the strip im2col matrix)
+    z_ref:    [strip_rows*ws, 48] f32 scratch (bf16-rounded strip conv
+              output; f32 because strided loads need 32-bit data)
+    v_ref:    [strip_rows*ws//3, 48] f32 scratch (x-pooled strip)
     """
     n_strips = h // strip_rows
     pooled_rows = strip_rows // 3
@@ -103,7 +111,9 @@ def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
         # upcasts: XLA:CPU's DotThunk lacks bf16xbf16=f32; bf16 values
         # are exact in f32, so results are identical.)
         lhs, rhs = a_ref[:], w_ref[:]
-        if f32_dot:
+        if interpret:
+            # XLA:CPU's DotThunk lacks bf16xbf16=f32; bf16 values are
+            # exact in f32, so upcasting gives identical results.
             lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
         acc = jax.lax.dot_general(
             lhs, rhs,
@@ -111,27 +121,50 @@ def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
             preferred_element_type=jnp.float32,
         )  # [m, 48]
         z = jnp.maximum(acc + bias_ref[:], 0.0)
-        z = z.astype(jnp.bfloat16)
+        # bf16 activation rounding (the shipped XLA path pools bf16),
+        # but carried in f32: tpu.strided_load only supports 32-bit
+        # data, and every bf16 value is exact in f32 so pooling the
+        # rounded f32 values is bit-identical to pooling bf16.
+        z = z.astype(jnp.bfloat16).astype(jnp.float32)
 
         # maxpool 3x3 stride 3.  ws % 3 == 0 makes the x-windows of every
-        # row line up with consecutive flat triples, so the whole strip's
-        # x-reduction is one (m/3, 3, 48) split; the y-reduction then
-        # splits pure outer dims.  Window u = ws3-1 (and any window
-        # touching the row pad, x >= w-2) is garbage and sliced away —
-        # valid windows end at x = 3*(out_w-1)+2 <= w-1.
-        vx = jnp.max(z.reshape(m // 3, 3, 48), axis=1)   # [rows*ws3, 48]
-        vr = vx.reshape(strip_rows, ws3, 48)
-        vy = jnp.max(vr.reshape(pooled_rows, 3, ws3, 48), axis=1)
-        pooled = vy[:, :out_w, :]                        # [pooled_rows, out_w, 48]
-        pooled = pooled.astype(jnp.float32) * scale_ref[:].reshape(1, 1, 48) \
-            + offset_ref[:].reshape(1, 1, 48)
-        out_ref[0, s * pooled_rows:(s + 1) * pooled_rows] = (
-            pooled.astype(out_dtype))
+        # row line up with consecutive flat triples, so the x-reduction
+        # is an elementwise max of the three stride-3 phases
+        # (tpu.strided_load — vector reshapes that split the sublane dim
+        # by 3 are unsupported shape casts in Mosaic).  Window u = ws3-1
+        # (and any window touching the row pad, x >= w-2) is garbage and
+        # sliced away — valid windows end at x = 3*(out_w-1)+2 <= w-1.
+        z_ref[:, :] = z
+        if interpret:
+            # Interpret mode lacks strided loads; same math via reshape.
+            v_ref[:, :] = jnp.max(z.reshape(m // 3, 3, 48), axis=1)
+        else:
+            v_ref[:, :] = jnp.maximum(
+                jnp.maximum(z_ref[pl.Slice(0, m // 3, 3), :],
+                            z_ref[pl.Slice(1, m // 3, 3), :]),
+                z_ref[pl.Slice(2, m // 3, 3), :])
+        # y-reduction: rows are ws3 sublanes apart in the x-pooled strip;
+        # per pooled row, max three contiguous row blocks, slice off the
+        # pad windows, apply the BN affine, write NHWC.
+        for t in range(pooled_rows):
+            r0 = 3 * t * ws3
+            row = jnp.maximum(
+                jnp.maximum(v_ref[pl.ds(r0, ws3), :],
+                            v_ref[pl.ds(r0 + ws3, ws3), :]),
+                v_ref[pl.ds(r0 + 2 * ws3, ws3), :])
+            pooled = row[:out_w, :] * scale_ref[:] + offset_ref[:]
+            out_ref[0, s * pooled_rows + t] = pooled.astype(out_dtype)
 
 
-def _strip_rows_for(h: int) -> int:
-    """Largest strip height <= 48 that tiles h into pool-aligned strips."""
-    for n in range(-(-h // 48), h + 1):
+def _strip_rows_for(h: int, cap: int = 12) -> int:
+    """Largest strip height <= cap that tiles h into pool-aligned strips.
+
+    The cap bounds the f32 pooling scratches and vector stack temps
+    ([strip_rows*ws, 48] pads its lane dim to 128, so VMEM cost is
+    2.67x the useful bytes); 12 rows keeps the whole kernel under the
+    16 MB scoped-vmem limit at the prod 144x256 shape.
+    """
+    for n in range(-(-h // cap), h + 1):
         if h % n == 0 and (h // n) % 3 == 0:
             return h // n
     raise ValueError(f"height {h} not divisible into pool-aligned strips")
@@ -174,7 +207,7 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
 
     kern = functools.partial(_kernel, h=h, w=w, ws=ws,
                              strip_rows=strip_rows, out_w=out_w,
-                             out_dtype=out_dtype, f32_dot=interpret)
+                             out_dtype=out_dtype, interpret=interpret)
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -192,6 +225,8 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
         scratch_shapes=[
             pltpu.VMEM((3, (h + 2) * ws + 2), jnp.bfloat16),
             pltpu.VMEM((_K_PAD, strip_rows * ws), jnp.bfloat16),
+            pltpu.VMEM((strip_rows * ws, 48), jnp.float32),
+            pltpu.VMEM((strip_rows * ws // 3, 48), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * 27 * 48,

@@ -42,9 +42,9 @@ from cut_detection_tpu.ops.nn import BN_EPS
 
 
 def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
-            xg_ref, *, h: int, h_eff: int, w: int, ws: int,
+            xg_ref, z_ref, v_ref, *, h: int, h_eff: int, w: int, ws: int,
             strip_rows: int, out_w: int, cin: int, cout: int, out_dtype,
-            f32_dot: bool = False):
+            interpret: bool = False):
     """One image per grid step.
 
     x_ref:    [1, (h+2)*ws, cin] bf16 (H zero-padded 1 top/bottom, rows
@@ -54,6 +54,9 @@ def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
     out_ref:  [1, h//3, out_w, cout] out_dtype
     xg_ref:   [(h+2)*ws + 2, cin] bf16 scratch (front/back guard sublanes
               so the dx-1 tap offset never underruns)
+    z_ref:    [strip_rows*ws, cout] f32 scratch (bf16-rounded strip conv
+              output; f32 because strided loads need 32-bit data)
+    v_ref:    [strip_rows*ws//3, cout] f32 scratch (x-pooled strip)
 
     ``h_eff = 3*(h//3)`` <= h: floor-mode pooling (torch MaxPool2d,
     frameID/net.py:26) drops trailing conv rows, but conv row h_eff-1
@@ -83,26 +86,46 @@ def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
                 start = base + dy * ws + dx
                 tap = xg_ref[pl.ds(start, m), :]
                 wk = w_ref[dy * 3 + dx]
-                if f32_dot:
+                if interpret:
+                    # XLA:CPU's DotThunk lacks bf16xbf16=f32; bf16 is
+                    # exact in f32, so upcasting is result-identical.
                     tap, wk = tap.astype(jnp.float32), wk.astype(jnp.float32)
                 acc = acc + jax.lax.dot_general(
                     tap, wk,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        z = jnp.maximum(acc + bias_ref[:], 0.0).astype(jnp.bfloat16)
+        # bf16 activation rounding (the shipped XLA path pools bf16),
+        # carried in f32: strided loads need 32-bit data, and bf16
+        # values are exact in f32 so pooling is bit-identical.
+        z = (jnp.maximum(acc + bias_ref[:], 0.0)
+             .astype(jnp.bfloat16).astype(jnp.float32))
 
-        # maxpool 3x3 stride 3 via sublane-only reshape splits; garbage
-        # windows that touch the row pad are sliced away (valid windows
-        # end at x = 3*(out_w-1)+2 <= w-1).
-        vx = jnp.max(z.reshape(m // 3, 3, cout), axis=1)
-        vy = jnp.max(vx.reshape(strip_rows, ws3, cout)
-                     .reshape(pooled_rows, 3, ws3, cout), axis=1)
-        pooled = vy[:, :out_w, :].astype(jnp.float32) \
-            * scale_ref[:].reshape(1, 1, cout) \
-            + offset_ref[:].reshape(1, 1, cout)
-        out_ref[0, s * pooled_rows:(s + 1) * pooled_rows] = (
-            pooled.astype(out_dtype))
+        # maxpool 3x3 stride 3.  ws % 3 == 0 aligns every row's
+        # x-windows with consecutive flat triples; the x-reduction is an
+        # elementwise max of the three stride-3 phases (tpu.strided_load
+        # — vector reshapes splitting the sublane dim by 3 are
+        # unsupported shape casts in Mosaic).  Garbage windows touching
+        # the row pad are sliced away (valid windows end at
+        # x = 3*(out_w-1)+2 <= w-1).
+        z_ref[:, :] = z
+        if interpret:
+            # Interpret mode lacks strided loads; same math via reshape.
+            v_ref[:, :] = jnp.max(z.reshape(m // 3, 3, cout), axis=1)
+        else:
+            v_ref[:, :] = jnp.maximum(
+                jnp.maximum(z_ref[pl.Slice(0, m // 3, 3), :],
+                            z_ref[pl.Slice(1, m // 3, 3), :]),
+                z_ref[pl.Slice(2, m // 3, 3), :])
+        # y-reduction: rows are ws3 sublanes apart in the x-pooled strip.
+        for t in range(pooled_rows):
+            r0 = 3 * t * ws3
+            row = jnp.maximum(
+                jnp.maximum(v_ref[pl.ds(r0, ws3), :],
+                            v_ref[pl.ds(r0 + ws3, ws3), :]),
+                v_ref[pl.ds(r0 + 2 * ws3, ws3), :])
+            pooled = row[:out_w, :] * scale_ref[:] + offset_ref[:]
+            out_ref[0, s * pooled_rows + t] = pooled.astype(out_dtype)
 
 
 def _strip_rows_for(h: int) -> int:
@@ -146,7 +169,7 @@ def fused_conv_block(x, kernel, bias, gamma, beta, mean, var,
     kern = functools.partial(_kernel, h=h, h_eff=h_eff, w=w, ws=ws,
                              strip_rows=strip_rows, out_w=out_w,
                              cin=cin, cout=cout, out_dtype=out_dtype,
-                             f32_dot=interpret)
+                             interpret=interpret)
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -164,6 +187,8 @@ def fused_conv_block(x, kernel, bias, gamma, beta, mean, var,
         out_shape=jax.ShapeDtypeStruct((b, out_h, out_w, cout), out_dtype),
         scratch_shapes=[
             pltpu.VMEM(((h + 2) * ws + 2, cin), jnp.bfloat16),
+            pltpu.VMEM((strip_rows * ws, cout), jnp.float32),
+            pltpu.VMEM((strip_rows * ws // 3, cout), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * 9 * cin * cout,

@@ -46,7 +46,9 @@ from cut_detection_tpu.models.frame_conv import (
     apply_frame_linear,
 )
 from cut_detection_tpu.models.layers import apply_conv_block
+from cut_detection_tpu.ops.nn import adaptive_avg_pool, flatten_nchw_order
 from cut_detection_tpu.ops.pallas.fused_conv1 import fused_conv1_pool
+from cut_detection_tpu.ops.pallas.fused_conv_block import fused_conv_block
 
 
 def timed_loop(fn, *args, steps: int, min_seconds: float = 3.0) -> float:
@@ -95,12 +97,33 @@ def main() -> None:
                                        net.linear_cfg, compute_dtype=cd)
         return logits
 
+    def head(acts):
+        feats = flatten_nchw_order(adaptive_avg_pool(
+            acts.astype(jnp.float32), net.conv_cfg.average_pool_size))
+        logits, _ = apply_frame_linear(bundle["linear"]["params"],
+                                       bundle["linear"]["state"], feats,
+                                       net.linear_cfg, compute_dtype=cd)
+        return logits
+
+    def rest_fused(l1):
+        """Layers 2+3 through fused_conv_block, then the FC head."""
+        acts = l1
+        for p, s in zip(bundle["conv"]["params"][1:],
+                        bundle["conv"]["state"][1:]):
+            acts = fused_conv_block(acts, p["kernel"], p["bias"],
+                                    p["gamma"], p["beta"], s["mean"],
+                                    s["var"], out_dtype=jnp.bfloat16)
+        return head(acts)
+
     out = {"batch": batch, "stage": stage}
 
     if stage in ("all", "parity"):
         ref_l1 = np.asarray(jax.jit(l1_xla_graph)(x), dtype=np.float32)
         got_l1 = np.asarray(jax.jit(l1_fused_graph)(x), dtype=np.float32)
-        out["l1_max_diff"] = float(np.abs(ref_l1 - got_l1).max())
+        d = np.abs(ref_l1 - got_l1)
+        out["l1_max_diff"] = float(d.max())
+        out["l1_frac_gt_1e3"] = float((d > 1e-3).mean())
+        out["l1_p999_diff"] = float(np.quantile(d, 0.999))
         ref_logits = np.asarray(jax.jit(lambda v: rest(l1_xla_graph(v)))(x))
         got_logits = np.asarray(jax.jit(lambda v: rest(l1_fused_graph(v)))(x))
         out["argmax_flips"] = int(
@@ -115,14 +138,25 @@ def main() -> None:
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return run
 
+    if stage in ("all", "block"):
+        ref_logits = np.asarray(jax.jit(lambda v: rest(l1_xla_graph(v)))(x))
+        full_logits = np.asarray(
+            jax.jit(lambda v: rest_fused(l1_fused_graph(v)))(x))
+        out["full_argmax_flips"] = int(
+            (ref_logits.argmax(1) != full_logits.argmax(1)).sum())
+        out["full_max_logit_diff"] = float(
+            np.abs(ref_logits - full_logits).max())
+
     graphs = {
         "l1_fused": l1_fused_graph,
         "l1_xla": l1_xla_graph,
         "e2e_fused": lambda v: rest(l1_fused_graph(v)),
         "e2e_xla": lambda v: rest(l1_xla_graph(v)),
+        "e2e_allfused": lambda v: rest_fused(l1_fused_graph(v)),
     }
     wanted = {"all": list(graphs), "l1": ["l1_fused", "l1_xla"],
-              "e2e": ["e2e_fused", "e2e_xla"], "parity": []}[stage]
+              "e2e": ["e2e_fused", "e2e_xla"],
+              "block": ["e2e_allfused", "e2e_xla"], "parity": []}[stage]
     for name in wanted:
         sec = timed_loop(looped(graphs[name]), x, steps=steps)
         out[name + "_fps"] = round(batch / sec, 1)
