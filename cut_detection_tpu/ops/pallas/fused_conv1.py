@@ -11,30 +11,39 @@ Matches CNNLayer's exact op order — conv(pad 1) -> ReLU -> maxpool(3,3)
 -> eval BatchNorm (frameID/net.py:33-40) — for the bfloat16_full
 numerics (bf16 operands, f32 accumulation, bf16 pooled activations).
 
-Design (the batch-amortized tap assembly docs/ROADMAP.md #3 called for,
-replacing the per-row im2col that sank ops/pallas/conv1_kernel.py):
+Design (batch-amortized tap assembly per docs/ROADMAP.md #3, third
+layout iteration — see docs/PERFORMANCE.md for the two that lost):
 
-- Input is pre-padded planar uint8 ``[B, 3, (H+2)*W]`` — each channel one
-  flat lane vector, so every conv tap (dy, dx, c) of a row strip is ONE
-  shifted lane-slice of it: 27 vectorized copies assemble the whole
-  strip's im2col matrix ``A [32, rows*W]`` with no per-pixel work and no
-  lane<->sublane relayout (taps live in sublanes = the MXU's K dim).
-- One matmul per strip: ``A [rows*ws, 32] @ W2.T [32, 48]`` (bf16 x
-  bf16, f32 accumulate) == all 48 output channels of every pixel in the
-  strip, oriented pixels-in-sublanes / channels-in-lanes so the output
-  is already NHWC-shaped.
-- ReLU in f32, cast bf16 (the shipped XLA path also has bf16 conv
-  activations), then maxpool with no vector reshapes at all (Mosaic
-  rejects shape casts that split the sublane dim by 3): the x-reduction
-  is an elementwise max of the three stride-3 phases via
-  ``tpu.strided_load``, the y-reduction a max of three contiguous
-  row-block slices per pooled row, then the BN affine
-  (scale = gamma/sqrt(var+eps), offset = beta - mean*scale).
+- Input is pre-padded planar uint8 ``[B, 3, (H+2)*ws]`` — each channel
+  one flat lane vector with row stride ``ws = 3*ceil((w+1)/3)`` whose
+  zero pad lanes double as the conv's x padding, so every conv tap
+  (dy, dx, c) of a row strip is ONE shifted lane-slice: 27 vectorized
+  copies assemble the strip's im2col matrix ``A [32, rows*ws]`` with no
+  per-pixel work and no lane<->sublane relayout.
+- One matmul per strip in the MXU's NATIVE orientation:
+  ``W [48, 32] @ A [32, m]`` -> ``[48, m]`` (bf16 x bf16, f32
+  accumulate) — channels in sublanes, pixels in lanes.  (The previous
+  iteration produced ``[m, 48]``, which made Mosaic transpose operands
+  and pad the 48-lane scratches to 128 lanes; it measured 2x slower
+  than XLA.)
+- ReLU + bf16 activation rounding carried in f32 (strided loads only
+  support 32-bit data; bf16 values are exact in f32, so pooling the
+  rounded values is bit-identical to pooling bf16).
+- maxpool 3x3/3 with no vector reshapes (Mosaic rejects shape casts
+  that split a tiled dim by 3): the x-reduction is an elementwise max
+  of the three stride-3 LANE phases via ``tpu.strided_load``; the
+  y-reduction a max of three contiguous row-block lane slices per
+  pooled row, then the BN affine (scale = gamma/sqrt(var+eps),
+  offset = beta - mean*scale).
+- Output stays channel-major ``[B, 48, out_h*out_w]`` (the natural
+  layout of the result); the wrapper exposes NHWC via one XLA
+  transpose, or downstream fused blocks can consume channel-major
+  directly.
 - Grid = (B,): Pallas double-buffers the uint8 input blocks and output
   blocks across images (streaming HBM<->VMEM overlapped with compute).
 
 Weight padding note: A's tap rows 27..31 are zeroed once (first grid
-step; scratch persists) because W2's padded columns are zero and
+step; scratch persists) because W's padded columns are zero and
 0 * garbage could be NaN.
 """
 
@@ -61,17 +70,16 @@ def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
     x_ref:    [1, 3, (h+2)*ws] uint8 (H zero-padded by 1 top/bottom; each
               row stored with stride ws = 3*ceil((w+1)/3), the extra
               lanes zero.  The in-row zero pad doubles as the conv's x
-              padding, so no edge masks are needed: the left neighbor of
-              x=0 is the previous row's zero pad, the right neighbor of
-              x=w-1 is this row's own pad)
+              padding: the left neighbor of x=0 is the previous row's
+              trailing pad, the right neighbor of x=w-1 this row's own)
     w_ref:    [48, 32] bf16 (HWIO-flattened taps, k = (dy*3+dx)*3 + c)
-    bias/scale/offset: [1, 48] f32
-    out_ref:  [1, h//3, out_w, 48] out_dtype
+    bias/scale/offset: [48, 1] f32
+    out_ref:  [1, 48, (h//3)*out_w] out_dtype (channel-major rows)
     xbf_ref:  [3, (h+2)*ws + 2] bf16 scratch (front/back guard lanes)
     a_ref:    [32, strip_rows*ws] bf16 scratch (the strip im2col matrix)
-    z_ref:    [strip_rows*ws, 48] f32 scratch (bf16-rounded strip conv
+    z_ref:    [48, strip_rows*ws] f32 scratch (bf16-rounded strip conv
               output; f32 because strided loads need 32-bit data)
-    v_ref:    [strip_rows*ws//3, 48] f32 scratch (x-pooled strip)
+    v_ref:    [48, strip_rows*ws//3] f32 scratch (x-pooled strip)
     """
     n_strips = h // strip_rows
     pooled_rows = strip_rows // 3
@@ -104,65 +112,56 @@ def _kernel(x_ref, w_ref, bias_ref, scale_ref, offset_ref, out_ref,
                     a_ref[k, :] = xbf_ref[c, pl.ds(start, m)]
 
         # All channels x all pixels of the strip in one MXU contraction,
-        # oriented [m, 48] so pixels land in sublanes and channels in
-        # lanes — pooling then only ever splits sublane dims into outer
-        # dims, the one reshape family Mosaic supports natively (lane-dim
-        # strides would lower to unsupported gathers).  (Interpret mode
-        # upcasts: XLA:CPU's DotThunk lacks bf16xbf16=f32; bf16 values
-        # are exact in f32, so results are identical.)
-        lhs, rhs = a_ref[:], w_ref[:]
+        # native orientation: lhs [48, K], rhs [K, m].  (Interpret mode
+        # upcasts: XLA:CPU's DotThunk lacks bf16xbf16=f32, and bf16
+        # values are exact in f32, so results are identical.)
+        lhs, rhs = w_ref[:], a_ref[:]
         if interpret:
-            # XLA:CPU's DotThunk lacks bf16xbf16=f32; bf16 values are
-            # exact in f32, so upcasting gives identical results.
             lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
         acc = jax.lax.dot_general(
             lhs, rhs,
-            dimension_numbers=(((0,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [m, 48]
+        )  # [48, m]
         z = jnp.maximum(acc + bias_ref[:], 0.0)
-        # bf16 activation rounding (the shipped XLA path pools bf16),
-        # but carried in f32: tpu.strided_load only supports 32-bit
-        # data, and every bf16 value is exact in f32 so pooling the
-        # rounded f32 values is bit-identical to pooling bf16.
         z = z.astype(jnp.bfloat16).astype(jnp.float32)
 
-        # maxpool 3x3 stride 3.  ws % 3 == 0 makes the x-windows of every
-        # row line up with consecutive flat triples, so the x-reduction
-        # is an elementwise max of the three stride-3 phases
-        # (tpu.strided_load — vector reshapes that split the sublane dim
-        # by 3 are unsupported shape casts in Mosaic).  Window u = ws3-1
-        # (and any window touching the row pad, x >= w-2) is garbage and
+        # maxpool 3x3 stride 3.  ws % 3 == 0 makes the x-windows of
+        # every row line up with consecutive lane triples; x-reduce as
+        # max of the three stride-3 lane phases.  Window u = ws3-1 (and
+        # any window touching the row pad, x >= w-2) is garbage and
         # sliced away — valid windows end at x = 3*(out_w-1)+2 <= w-1.
         z_ref[:, :] = z
         if interpret:
             # Interpret mode lacks strided loads; same math via reshape.
-            v_ref[:, :] = jnp.max(z.reshape(m // 3, 3, 48), axis=1)
+            v_ref[:, :] = jnp.max(z.reshape(48, m // 3, 3), axis=2)
         else:
             v_ref[:, :] = jnp.maximum(
-                jnp.maximum(z_ref[pl.Slice(0, m // 3, 3), :],
-                            z_ref[pl.Slice(1, m // 3, 3), :]),
-                z_ref[pl.Slice(2, m // 3, 3), :])
-        # y-reduction: rows are ws3 sublanes apart in the x-pooled strip;
+                jnp.maximum(z_ref[:, pl.Slice(0, m // 3, 3)],
+                            z_ref[:, pl.Slice(1, m // 3, 3)]),
+                z_ref[:, pl.Slice(2, m // 3, 3)])
+        # y-reduction: rows are ws3 lanes apart in the x-pooled strip;
         # per pooled row, max three contiguous row blocks, slice off the
-        # pad windows, apply the BN affine, write NHWC.
+        # pad windows, apply the BN affine, write channel-major.
         for t in range(pooled_rows):
             r0 = 3 * t * ws3
             row = jnp.maximum(
-                jnp.maximum(v_ref[pl.ds(r0, ws3), :],
-                            v_ref[pl.ds(r0 + ws3, ws3), :]),
-                v_ref[pl.ds(r0 + 2 * ws3, ws3), :])
-            pooled = row[:out_w, :] * scale_ref[:] + offset_ref[:]
-            out_ref[0, s * pooled_rows + t] = pooled.astype(out_dtype)
+                jnp.maximum(v_ref[:, pl.ds(r0, ws3)],
+                            v_ref[:, pl.ds(r0 + ws3, ws3)]),
+                v_ref[:, pl.ds(r0 + 2 * ws3, ws3)])
+            pooled = row[:, :out_w] * scale_ref[:] + offset_ref[:]
+            orow = s * pooled_rows + t
+            out_ref[0, :, pl.ds(orow * out_w, out_w)] = (
+                pooled.astype(out_dtype))
 
 
-def _strip_rows_for(h: int, cap: int = 12) -> int:
+def _strip_rows_for(h: int, cap: int = 24) -> int:
     """Largest strip height <= cap that tiles h into pool-aligned strips.
 
-    The cap bounds the f32 pooling scratches and vector stack temps
-    ([strip_rows*ws, 48] pads its lane dim to 128, so VMEM cost is
-    2.67x the useful bytes); 12 rows keeps the whole kernel under the
-    16 MB scoped-vmem limit at the prod 144x256 shape.
+    The cap bounds the f32 pooling scratches and vector stack temps;
+    24 rows keeps the kernel well inside the 16 MB scoped-vmem limit at
+    the prod 144x256 shape (channel-major scratches have no lane
+    padding, so the budget is much looser than the [m, 48] layout's).
     """
     for n in range(-(-h // cap), h + 1):
         if h % n == 0 and (h // n) % 3 == 0:
@@ -170,16 +169,19 @@ def _strip_rows_for(h: int, cap: int = 12) -> int:
     raise ValueError(f"height {h} not divisible into pool-aligned strips")
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "nhwc_out", "interpret"))
 def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
-                     *, out_dtype=jnp.bfloat16, interpret: bool = False):
-    """Layer 1 of the prod stack, fused: uint8 NHWC frames -> pooled NHWC.
+                     *, out_dtype=jnp.bfloat16, nhwc_out: bool = True,
+                     interpret: bool = False):
+    """Layer 1 of the prod stack, fused: uint8 NHWC frames -> pooled out.
 
     x_u8:   [B, H, W, 3] uint8 (raw BGR; pass the *folded* layer-1 kernel
             from assembly.fold_preprocess so the BGR flip + /255 are
             already absorbed into the weights)
     kernel: [3, 3, 3, 48] HWIO float32, bias/gamma/beta/mean/var: [48]
-    returns [B, H//3, (W-3)//3 + 1, 48] in ``out_dtype``
+    returns [B, H//3, (W-3)//3 + 1, 48] NHWC when ``nhwc_out`` (one XLA
+            transpose), else channel-major [B, 48, H//3, (W-3)//3 + 1]
 
     Semantics parity: conv2d_same -> relu -> max_pool(3) ->
     batch_norm_infer at bfloat16_full numerics (ops/nn.py, layers.py).
@@ -188,7 +190,7 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
     assert cin == 3 and h % 3 == 0, (h, w, cin)
     strip_rows = _strip_rows_for(h)
     out_h, out_w = h // 3, (w - 3) // 3 + 1
-    # Row stride: multiple of 3 (pool windows align with flat triples)
+    # Row stride: multiple of 3 (pool windows align with lane triples)
     # with >= 1 zero pad lane (doubles as the conv's x zero padding).
     ws = 3 * (-(-(w + 1) // 3))
 
@@ -208,7 +210,7 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
     kern = functools.partial(_kernel, h=h, w=w, ws=ws,
                              strip_rows=strip_rows, out_w=out_w,
                              out_dtype=out_dtype, interpret=interpret)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
@@ -219,14 +221,14 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, out_h, out_w, 48), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 48, out_h * out_w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, out_h, out_w, 48), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 48, out_h * out_w), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((3, (h + 2) * ws + 2), jnp.bfloat16),
             pltpu.VMEM((_K_PAD, strip_rows * ws), jnp.bfloat16),
-            pltpu.VMEM((strip_rows * ws, 48), jnp.float32),
-            pltpu.VMEM((strip_rows * ws // 3, 48), jnp.float32),
+            pltpu.VMEM((48, strip_rows * ws), jnp.float32),
+            pltpu.VMEM((48, strip_rows * ws // 3), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * 27 * 48,
@@ -234,5 +236,9 @@ def fused_conv1_pool(x_u8, kernel, bias, gamma, beta, mean, var,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xflat, w2t, bias.astype(jnp.float32).reshape(1, 48),
-      scale.reshape(1, 48), offset.reshape(1, 48))
+    )(xflat, w2t, bias.astype(jnp.float32).reshape(48, 1),
+      scale.reshape(48, 1), offset.reshape(48, 1))
+    out = out.reshape(b, 48, out_h, out_w)
+    if nhwc_out:
+        out = out.transpose(0, 2, 3, 1)
+    return out

@@ -99,10 +99,10 @@ def test_fused_conv1_prod_layer1_argmax_consistency():
 
 
 def test_strip_rows_helper():
-    assert _strip_rows_for(144) == 12
+    assert _strip_rows_for(144) == 24
     assert _strip_rows_for(144, cap=48) == 48
-    assert _strip_rows_for(36) == 12
-    assert _strip_rows_for(45) == 9
-    assert _strip_rows_for(90) == 9
+    assert _strip_rows_for(36) == 18
+    assert _strip_rows_for(45) == 15
+    assert _strip_rows_for(90) == 18
     with pytest.raises(ValueError):
         _strip_rows_for(7)

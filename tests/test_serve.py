@@ -129,6 +129,82 @@ def test_serve_custom_model_dir(tmp_path, synthetic_video):
         srv.shutdown()
 
 
+def test_metrics_endpoint(server, synthetic_video, tmp_path):
+    """/metrics reports request counters and latency percentiles."""
+    base, _ = server
+    out = str(tmp_path / "m.csv")
+    status, _ = _post(base + "/segment", {
+        "input_path": synthetic_video, "output_path": out,
+        "batch_size": 64, "frame_limit": 64})
+    assert status == 200
+    with urllib.request.urlopen(base + "/metrics") as resp:
+        m = json.loads(resp.read())
+    assert m["requests_served"] >= 1
+    assert m["frames_total"] >= 64
+    assert m["latency_p50_s"] > 0
+    assert m["queue_depth"] == 0
+    # Failed requests are counted separately.
+    _post(base + "/segment", {"input_path": "/no/such.mp4"})
+    with urllib.request.urlopen(base + "/metrics") as resp:
+        m2 = json.loads(resp.read())
+    assert m2["requests_failed"] >= 1
+
+
+def test_upload_then_segment(server, synthetic_video, tmp_path):
+    """/upload spools raw bytes; the returned path feeds /segment —
+    remote ingestion without a shared volume."""
+    base, state = server
+    raw = open(synthetic_video, "rb").read()
+    req = urllib.request.Request(
+        base + "/upload?name=../evil dir/ga me.mp4", data=raw,
+        headers={"Content-Type": "application/octet-stream"},
+        method="POST")
+    with urllib.request.urlopen(req) as resp:
+        up = json.loads(resp.read())
+    assert up["bytes"] == len(raw)
+    # Sanitized into the spool dir: no traversal, safe charset.
+    assert up["input_path"].startswith(state.spool_dir)
+    assert "/evil" not in up["input_path"] and " " not in up["input_path"]
+
+    out = str(tmp_path / "uploaded.csv")
+    status, data = _post(base + "/segment", {
+        "input_path": up["input_path"], "output_path": out,
+        "batch_size": 64, "frame_limit": 64})
+    assert status == 200
+    assert data["stats"]["frames"] > 0
+
+
+def test_upload_size_cap(server):
+    base, state = server
+    old = state.max_upload_bytes
+    state.max_upload_bytes = 10
+    try:
+        req = urllib.request.Request(base + "/upload", data=b"x" * 100,
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req)
+            status = 200
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 413
+    finally:
+        state.max_upload_bytes = old
+
+
+def test_segment_batch(server, synthetic_video, tmp_path):
+    """/segment_batch processes a list, isolating per-video failures."""
+    base, _ = server
+    status, data = _post(base + "/segment_batch", {
+        "input_paths": [synthetic_video, "/no/such.mp4"],
+        "batch_size": 64, "frame_limit": 64})
+    assert status == 200
+    ok, bad = data["results"]
+    assert ok["stats"]["frames"] > 0
+    assert "error" in bad
+    status, data = _post(base + "/segment_batch", {"input_paths": []})
+    assert status == 400
+
+
 def test_segment_threshold_passthrough(server, synthetic_video, tmp_path):
     """base/blank thresholds in the request body reach the glue pass:
     the served segments equal a direct segment_video_file call with the
