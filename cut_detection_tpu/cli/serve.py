@@ -9,13 +9,21 @@ reference's ``-v $(OUTPUT_LOC):/home/sources`` runner, Makefile:20-24).
 API (stdlib http.server; no extra dependencies):
 
 - ``GET  /healthz``                      -> {"status": "ok", ...}
+- ``GET  /metrics``                      -> request/queue/latency counters
 - ``POST /segment`` body {"input_path": ..., optional "output_path",
   "base_threshold", "blank_threshold", "batch_size", "frame_limit",
   "decode_workers"}    -> {"output_path", "segments": [[start, label],
   ...], "stats": {...}}
+- ``POST /segment_batch`` body {"input_paths": [...], ...same options}
+  -> {"results": [per-video result or {"error": ...}]}
+- ``POST /upload?name=game.mp4`` raw video bytes -> {"input_path": ...}
+  (spooled under --spool-dir; size-capped by --max-upload-mb) — remote
+  ingestion without a shared volume mount.
 
 Requests are serialized through a lock — the device is a single-program
 resource; concurrency belongs at the batch level, not the request level.
+``/metrics`` reports the resulting queue depth and wait/latency
+percentiles so operators can see saturation.
 """
 
 from __future__ import annotations
@@ -23,12 +31,19 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
+import re
+import tempfile
 import threading
+import time
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from cut_detection_tpu.utils.logging import setup_logging
 
 logger = logging.getLogger(__name__)
+
+_LATENCY_WINDOW = 512  # rolling sample window for percentile metrics
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -42,15 +57,58 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Serve a trained triplet instead of the bundled "
                         "prod classifier.")
     p.add_argument("--model-name", type=str, default="init_model")
+    p.add_argument("--spool-dir", type=str, default=None,
+                   help="Directory for /upload ingestion (default: a "
+                        "fresh tempdir).")
+    p.add_argument("--max-upload-mb", type=int, default=2048,
+                   help="Reject /upload bodies larger than this.")
     p.add_argument("--cpu", action="store_true")
     return p
 
 
 class _State:
-    net = None
-    precision = "float32"
-    lock = threading.Lock()
-    requests_served = 0
+    def __init__(self):
+        self.net = None
+        self.precision = "float32"
+        self.lock = threading.Lock()
+        self.meta_lock = threading.Lock()
+        self.requests_served = 0
+        self.requests_failed = 0
+        self.frames_total = 0
+        self.queue_depth = 0  # requests waiting on or holding the lock
+        self.wait_s = []      # rolling lock-wait samples
+        self.latency_s = []   # rolling end-to-end samples
+        self.started = time.time()
+        self.spool_dir = None
+        self.max_upload_bytes = 2 << 30
+
+    def record(self, wait: float, latency: float, frames: int) -> None:
+        with self.meta_lock:
+            self.requests_served += 1
+            self.frames_total += frames
+            self.wait_s = (self.wait_s + [wait])[-_LATENCY_WINDOW:]
+            self.latency_s = (self.latency_s + [latency])[-_LATENCY_WINDOW:]
+
+    def metrics(self) -> dict:
+        def pct(xs, q):
+            if not xs:
+                return 0.0
+            xs = sorted(xs)
+            return round(xs[min(len(xs) - 1, int(q * len(xs)))], 3)
+
+        with self.meta_lock:
+            return {
+                "uptime_s": round(time.time() - self.started, 1),
+                "requests_served": self.requests_served,
+                "requests_failed": self.requests_failed,
+                "frames_total": self.frames_total,
+                "queue_depth": self.queue_depth,
+                "lock_wait_p50_s": pct(self.wait_s, 0.5),
+                "lock_wait_p95_s": pct(self.wait_s, 0.95),
+                "latency_p50_s": pct(self.latency_s, 0.5),
+                "latency_p95_s": pct(self.latency_s, 0.95),
+                "precision": self.precision,
+            }
 
 
 def _make_handler(state: _State):
@@ -73,21 +131,14 @@ def _make_handler(state: _State):
                     "requests_served": state.requests_served,
                     "precision": state.precision,
                 })
+            elif self.path == "/metrics":
+                self._reply(200, state.metrics())
             else:
                 self._reply(404, {"error": "not found"})
 
-        def do_POST(self):
-            if self.path != "/segment":
-                self._reply(404, {"error": "not found"})
-                return
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
-                input_path = req["input_path"]
-            except (KeyError, ValueError) as e:
-                self._reply(400, {"error": f"bad request: {e}"})
-                return
-
+        def _segment_one(self, input_path: str, req: dict) -> dict:
+            """Run one video through the pipeline (serialized); returns
+            the response payload.  Raises ValueError for bad inputs."""
             from cut_detection_tpu.pipeline import segment_video_file
 
             kwargs = {
@@ -97,19 +148,19 @@ def _make_handler(state: _State):
                 ) if k in req
             }
             output_path = kwargs.pop("output_path", None)
+            t0 = time.time()
+            with state.meta_lock:
+                state.queue_depth += 1
             try:
                 with state.lock:
+                    t1 = time.time()
                     out, seg, stats = segment_video_file(
                         input_path, output_path, net=state.net,
                         print_every=0, **kwargs)
-                    state.requests_served += 1
-            except ValueError as e:
-                self._reply(400, {"error": str(e)})
-                return
-            except Exception as e:  # pragma: no cover - defensive
-                logger.exception("segment failed")
-                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
-                return
+            finally:
+                with state.meta_lock:
+                    state.queue_depth -= 1
+            state.record(t1 - t0, time.time() - t0, stats.frames)
 
             from cut_detection_tpu.segmentation.rle import INVERSE_LAB_ENUM
 
@@ -118,7 +169,7 @@ def _make_handler(state: _State):
                 for sf, tp in zip(seg.te["start_frames"],
                                   seg.te["frame_types"])
             ]
-            self._reply(200, {
+            return {
                 "output_path": out,
                 "segments": segments,
                 "stats": {
@@ -127,19 +178,108 @@ def _make_handler(state: _State):
                     "decode_failures": stats.decode_failures,
                     "frames_per_sec": round(stats.frames_per_sec, 2),
                 },
-            })
+            }
+
+        def _do_upload(self):
+            """Spool raw request-body bytes to --spool-dir."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._reply(400, {"error": "bad Content-Length"})
+                return
+            if length <= 0:
+                self._reply(400, {"error": "empty upload"})
+                return
+            if length > state.max_upload_bytes:
+                self._reply(413, {"error": "upload exceeds --max-upload-mb"})
+                return
+            name = "upload.mp4"
+            if "?" in self.path:
+                for part in self.path.split("?", 1)[1].split("&"):
+                    if part.startswith("name="):
+                        name = urllib.parse.unquote(part[5:])
+            # Sanitize: basename only, conservative charset.
+            name = re.sub(r"[^A-Za-z0-9._-]", "_",
+                          os.path.basename(name)) or "upload.mp4"
+            os.makedirs(state.spool_dir, exist_ok=True)
+            fd, path = tempfile.mkstemp(prefix="", suffix="-" + name,
+                                        dir=state.spool_dir)
+            remaining = length
+            with os.fdopen(fd, "wb") as f:
+                while remaining:
+                    chunk = self.rfile.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    f.write(chunk)
+                    remaining -= len(chunk)
+            if remaining:
+                os.unlink(path)
+                self._reply(400, {"error": "truncated upload"})
+                return
+            self._reply(200, {"input_path": path, "bytes": length})
+
+        def do_POST(self):
+            if self.path.split("?", 1)[0] == "/upload":
+                self._do_upload()
+                return
+            if self.path not in ("/segment", "/segment_batch"):
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/segment":
+                    paths = [req["input_path"]]
+                else:
+                    paths = list(req["input_paths"])
+                    if not paths:
+                        raise ValueError("input_paths is empty")
+            except (KeyError, ValueError, TypeError) as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+                return
+
+            def fail():
+                with state.meta_lock:
+                    state.requests_failed += 1
+
+            if self.path == "/segment":
+                try:
+                    self._reply(200, self._segment_one(paths[0], req))
+                except ValueError as e:
+                    fail()
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:  # pragma: no cover - defensive
+                    logger.exception("segment failed")
+                    fail()
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+
+            results = []
+            for p in paths:
+                try:
+                    results.append(self._segment_one(p, req))
+                except Exception as e:  # per-video isolation
+                    if not isinstance(e, ValueError):
+                        logger.exception("segment failed for %s", p)
+                    fail()
+                    results.append({"error": f"{type(e).__name__}: {e}"})
+            self._reply(200, {"results": results})
 
     return Handler
 
 
 def make_server(host: str, port: int, precision: str = "float32",
                 model_dir: str | None = None,
-                model_name: str = "init_model"):
+                model_name: str = "init_model",
+                spool_dir: str | None = None,
+                max_upload_mb: int = 2048):
     """Build (server, state) with the model preloaded."""
     from cut_detection_tpu.models.assembly import load_triplet_or_default
 
     state = _State()
     state.precision = precision
+    state.spool_dir = spool_dir or tempfile.mkdtemp(prefix="cutdet_spool_")
+    state.max_upload_bytes = max_upload_mb << 20
     state.net, _ = load_triplet_or_default(model_dir, model_name,
                                            precision=precision)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
@@ -163,7 +303,9 @@ def main(args=None) -> None:
     logging.info("Using %s", jax.devices()[0].platform)
 
     server, _ = make_server(ns.host, ns.port, ns.precision,
-                            model_dir=ns.model_dir, model_name=ns.model_name)
+                            model_dir=ns.model_dir, model_name=ns.model_name,
+                            spool_dir=ns.spool_dir,
+                            max_upload_mb=ns.max_upload_mb)
     logging.info("Serving on %s:%d", ns.host, ns.port)
     try:
         server.serve_forever()

@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -155,8 +156,9 @@ def test_upload_then_segment(server, synthetic_video, tmp_path):
     remote ingestion without a shared volume."""
     base, state = server
     raw = open(synthetic_video, "rb").read()
+    name = urllib.parse.quote("../evil dir/ga me.mp4")
     req = urllib.request.Request(
-        base + "/upload?name=../evil dir/ga me.mp4", data=raw,
+        base + "/upload?name=" + name, data=raw,
         headers={"Content-Type": "application/octet-stream"},
         method="POST")
     with urllib.request.urlopen(req) as resp:
