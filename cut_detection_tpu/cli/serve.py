@@ -20,6 +20,10 @@ API (stdlib http.server; no extra dependencies):
   (spooled under --spool-dir; size-capped by --max-upload-mb) — remote
   ingestion without a shared volume mount.
 
+TLS: ``--certfile/--keyfile`` serve HTTPS; adding ``--client-ca``
+requires client certificates (mTLS) so only holders of certs signed by
+that CA can reach the daemon.
+
 Requests are serialized through a lock — the device is a single-program
 resource; concurrency belongs at the batch level, not the request level.
 ``/metrics`` reports the resulting queue depth and wait/latency
@@ -62,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fresh tempdir).")
     p.add_argument("--max-upload-mb", type=int, default=2048,
                    help="Reject /upload bodies larger than this.")
+    p.add_argument("--certfile", type=str, default=None,
+                   help="PEM certificate: serve HTTPS instead of HTTP.")
+    p.add_argument("--keyfile", type=str, default=None,
+                   help="PEM private key for --certfile.")
+    p.add_argument("--client-ca", type=str, default=None,
+                   help="CA bundle; require client certs signed by it "
+                        "(mTLS).  Implies --certfile/--keyfile.")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -272,8 +283,15 @@ def make_server(host: str, port: int, precision: str = "float32",
                 model_dir: str | None = None,
                 model_name: str = "init_model",
                 spool_dir: str | None = None,
-                max_upload_mb: int = 2048):
-    """Build (server, state) with the model preloaded."""
+                max_upload_mb: int = 2048,
+                certfile: str | None = None,
+                keyfile: str | None = None,
+                client_ca: str | None = None):
+    """Build (server, state) with the model preloaded.
+
+    ``certfile``/``keyfile`` enable HTTPS; ``client_ca`` additionally
+    demands client certificates signed by that CA (mTLS).
+    """
     from cut_detection_tpu.models.assembly import load_triplet_or_default
 
     state = _State()
@@ -283,6 +301,17 @@ def make_server(host: str, port: int, precision: str = "float32",
     state.net, _ = load_triplet_or_default(model_dir, model_name,
                                            precision=precision)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
+    if client_ca and not certfile:
+        raise ValueError("--client-ca requires --certfile/--keyfile")
+    if certfile:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile, keyfile)
+        if client_ca:
+            ctx.load_verify_locations(client_ca)
+            ctx.verify_mode = ssl.CERT_REQUIRED
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
     return server, state
 
 
@@ -305,7 +334,9 @@ def main(args=None) -> None:
     server, _ = make_server(ns.host, ns.port, ns.precision,
                             model_dir=ns.model_dir, model_name=ns.model_name,
                             spool_dir=ns.spool_dir,
-                            max_upload_mb=ns.max_upload_mb)
+                            max_upload_mb=ns.max_upload_mb,
+                            certfile=ns.certfile, keyfile=ns.keyfile,
+                            client_ca=ns.client_ca)
     logging.info("Serving on %s:%d", ns.host, ns.port)
     try:
         server.serve_forever()

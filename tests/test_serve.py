@@ -207,6 +207,74 @@ def test_segment_batch(server, synthetic_video, tmp_path):
     assert status == 400
 
 
+@pytest.fixture(scope="module")
+def tls_certs(tmp_path_factory):
+    """Self-signed server cert + a client CA with one signed client cert."""
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+
+    def ossl(*args):
+        subprocess.run(["openssl", *args], check=True, cwd=d,
+                       capture_output=True)
+
+    # Server cert (self-signed, CN=localhost, SAN for 127.0.0.1).
+    ossl("req", "-x509", "-newkey", "rsa:2048", "-nodes", "-days", "2",
+         "-keyout", "server.key", "-out", "server.crt",
+         "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1")
+    # Client CA + a client cert signed by it.
+    ossl("req", "-x509", "-newkey", "rsa:2048", "-nodes", "-days", "2",
+         "-keyout", "ca.key", "-out", "ca.crt", "-subj", "/CN=testca")
+    ossl("req", "-newkey", "rsa:2048", "-nodes", "-keyout", "client.key",
+         "-out", "client.csr", "-subj", "/CN=client")
+    ossl("x509", "-req", "-in", "client.csr", "-CA", "ca.crt",
+         "-CAkey", "ca.key", "-CAcreateserial", "-days", "2",
+         "-out", "client.crt")
+    return d
+
+
+def test_tls_and_mtls(tls_certs):
+    """HTTPS serving works; with --client-ca, certless clients are
+    rejected and cert-holding clients succeed (mTLS)."""
+    import ssl
+
+    from cut_detection_tpu.cli.serve import make_server
+
+    d = tls_certs
+    srv, _ = make_server("127.0.0.1", 0,
+                         certfile=str(d / "server.crt"),
+                         keyfile=str(d / "server.key"),
+                         client_ca=str(d / "ca.crt"))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"https://127.0.0.1:{port}"
+        trust_server = ssl.create_default_context(cafile=str(d / "server.crt"))
+
+        # No client cert -> TLS handshake rejected.
+        with pytest.raises(Exception):
+            urllib.request.urlopen(base + "/healthz", context=trust_server,
+                                   timeout=10)
+
+        # With the CA-signed client cert -> served.
+        ctx = ssl.create_default_context(cafile=str(d / "server.crt"))
+        ctx.load_cert_chain(str(d / "client.crt"), str(d / "client.key"))
+        with urllib.request.urlopen(base + "/healthz", context=ctx,
+                                    timeout=10) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        srv.shutdown()
+
+
+def test_client_ca_requires_certfile():
+    from cut_detection_tpu.cli.serve import make_server
+
+    with pytest.raises(ValueError, match="client-ca requires"):
+        make_server("127.0.0.1", 0, client_ca="/tmp/nope.crt")
+
+
 def test_segment_threshold_passthrough(server, synthetic_video, tmp_path):
     """base/blank thresholds in the request body reach the glue pass:
     the served segments equal a direct segment_video_file call with the
