@@ -8,6 +8,10 @@ deployment (make_torchscript_model.py:25-34).  The TPU-native equivalents:
   or Python, the actual deployment path for XLA runtimes.
 - ``--format torch``: emit torch ``.pt`` state dicts loadable by the
   reference's ``frameID`` modules (interop bridge).
+- ``--format flax``: emit a flax msgpack checkpoint of
+  ``models/flax_module.GluedClassifier`` variables (+ params JSON
+  sidecar) for teams living in the flax/linen ecosystem; verified by
+  re-running the linen module on the exported variables.
 
 Like the reference, it logs eager vs exported outputs side by side as a
 consistency check (make_torchscript_model.py:31-32).
@@ -32,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-default-net", action="store_true",
                    help="Export the bundled prod classifier instead of a "
                         "triplet from --model-dir.")
-    p.add_argument("--format", choices=["stablehlo", "torch"],
+    p.add_argument("--format", choices=["stablehlo", "torch", "flax"],
                    default="stablehlo")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--height", type=int, default=144)
@@ -88,6 +92,41 @@ def main(args=None) -> str:
         torch.save(conv_sd, os.path.join(out, "classifier_conv.pt"))
         torch.save(lin_sd, os.path.join(out, "classifier_linear.pt"))
         logging.info("Wrote torch state dicts to %s", out)
+        return out
+
+    if ns.format == "flax":
+        import json
+
+        from flax import serialization
+
+        from cut_detection_tpu.models.flax_module import (
+            GluedClassifier,
+            bundle_to_variables,
+        )
+
+        variables = bundle_to_variables(jax.device_get(net.bundle))
+        out = ns.output or os.path.join(ns.model_dir,
+                                        f"{ns.model_name}_flax")
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "variables.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(variables))
+        with open(os.path.join(out, "model_params.json"), "w") as f:
+            json.dump(net.model_params.to_dict(), f)
+        # Consistency check: the linen module on the exported variables
+        # must reproduce the eager logits.
+        module = GluedClassifier(net.model_params)
+        with open(os.path.join(out, "variables.msgpack"), "rb") as f:
+            restored = serialization.from_bytes(variables, f.read())
+        traced = np.asarray(module.apply(restored, example))
+        logging.info("Exported (flax): %s", traced)
+        logging.info("Max diff eager vs flax: %.3e",
+                     np.abs(eager - traced).max())
+        # The linen module always runs full-precision; widen the gate
+        # when the eager side ran a bf16 mode.
+        atol = 1e-5 if ns.precision == "float32" else 0.1
+        if not np.allclose(eager, traced, atol=atol):
+            raise AssertionError("flax export consistency check failed")
+        logging.info("Wrote flax checkpoint to %s", out)
         return out
 
     # StableHLO AOT export.

@@ -85,6 +85,36 @@ def test_export_model_stablehlo(tmp_path):
     np.testing.assert_allclose(logits, np.asarray(net(x)), atol=1e-5)
 
 
+def test_export_model_flax(tmp_path):
+    """--format flax emits a msgpack checkpoint the linen GluedClassifier
+    reproduces the prod logits from (the flax interop's shipped path)."""
+    from cut_detection_tpu.cli.export_model import main
+
+    out = str(tmp_path / "fexport")
+    path = main(["--use-default-net", "--format", "flax", "--output", out,
+                 "--batch-size", "2", "--height", "72", "--width", "96"])
+    assert path == out
+    assert os.path.getsize(os.path.join(out, "variables.msgpack")) > 10000
+
+    from flax import serialization
+
+    from cut_detection_tpu.config import ModelParams
+    from cut_detection_tpu.models.assembly import load_default_net
+    from cut_detection_tpu.models.flax_module import (
+        GluedClassifier,
+        bundle_to_variables,
+    )
+
+    mp = ModelParams.from_json(os.path.join(out, "model_params.json"))
+    net, _ = load_default_net()
+    template = bundle_to_variables(net.bundle)
+    with open(os.path.join(out, "variables.msgpack"), "rb") as f:
+        variables = serialization.from_bytes(template, f.read())
+    x = np.random.default_rng(1).random((2, 72, 96, 3), dtype=np.float32)
+    logits = np.asarray(GluedClassifier(mp).apply(variables, x))
+    np.testing.assert_allclose(logits, np.asarray(net(x)), atol=1e-5)
+
+
 def test_export_model_torch(tmp_path, torch):
     from cut_detection_tpu.cli.export_model import main
 
