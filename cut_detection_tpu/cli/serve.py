@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "fresh tempdir).")
     p.add_argument("--max-upload-mb", type=int, default=2048,
                    help="Reject /upload bodies larger than this.")
+    p.add_argument("--spool-ttl-hours", type=float, default=24.0,
+                   help="Delete spooled uploads older than this (swept "
+                        "on each /upload).")
     p.add_argument("--certfile", type=str, default=None,
                    help="PEM certificate: serve HTTPS instead of HTTP.")
     p.add_argument("--keyfile", type=str, default=None,
@@ -92,6 +95,28 @@ class _State:
         self.started = time.time()
         self.spool_dir = None
         self.max_upload_bytes = 2 << 30
+        self.spool_ttl_s = 24 * 3600.0
+
+    def sweep_spool(self) -> int:
+        """Delete spool files older than the TTL; returns count removed.
+
+        Called on every /upload so a long-lived daemon's disk use is
+        bounded by (upload rate x TTL) instead of growing forever."""
+        removed = 0
+        try:
+            entries = os.listdir(self.spool_dir)
+        except OSError:
+            return 0
+        cutoff = time.time() - self.spool_ttl_s
+        for name in entries:
+            p = os.path.join(self.spool_dir, name)
+            try:
+                if os.path.isfile(p) and os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+                    removed += 1
+            except OSError:  # raced with another sweep/consumer
+                pass
+        return removed
 
     def record(self, wait: float, latency: float, frames: int) -> None:
         with self.meta_lock:
@@ -124,6 +149,10 @@ class _State:
 
 def _make_handler(state: _State):
     class Handler(BaseHTTPRequestHandler):
+        # Bounds socket reads (including deferred TLS handshakes) so a
+        # stalled client releases its handler thread.
+        timeout = 120
+
         def _reply(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -147,7 +176,8 @@ def _make_handler(state: _State):
             else:
                 self._reply(404, {"error": "not found"})
 
-        def _segment_one(self, input_path: str, req: dict) -> dict:
+        def _segment_one(self, input_path: str, req: dict,
+                         allow_output_path: bool = True) -> dict:
             """Run one video through the pipeline (serialized); returns
             the response payload.  Raises ValueError for bad inputs."""
             from cut_detection_tpu.pipeline import segment_video_file
@@ -159,6 +189,11 @@ def _make_handler(state: _State):
                 ) if k in req
             }
             output_path = kwargs.pop("output_path", None)
+            if not allow_output_path:
+                # Batch mode: one shared output_path would make every
+                # video overwrite the same CSV; use per-video defaults
+                # (input stem + _segments.csv).
+                output_path = None
             t0 = time.time()
             with state.meta_lock:
                 state.queue_depth += 1
@@ -204,6 +239,10 @@ def _make_handler(state: _State):
             if length > state.max_upload_bytes:
                 self._reply(413, {"error": "upload exceeds --max-upload-mb"})
                 return
+            swept = state.sweep_spool()
+            if swept:
+                logger.info("spool sweep removed %d expired upload(s)",
+                            swept)
             name = "upload.mp4"
             if "?" in self.path:
                 for part in self.path.split("?", 1)[1].split("&"):
@@ -245,6 +284,11 @@ def _make_handler(state: _State):
                     paths = list(req["input_paths"])
                     if not paths:
                         raise ValueError("input_paths is empty")
+                    if "output_path" in req:
+                        raise ValueError(
+                            "output_path is not valid for /segment_batch "
+                            "(one path would overwrite per video); outputs "
+                            "default to <input stem>_segments.csv")
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
@@ -268,7 +312,8 @@ def _make_handler(state: _State):
             results = []
             for p in paths:
                 try:
-                    results.append(self._segment_one(p, req))
+                    results.append(
+                        self._segment_one(p, req, allow_output_path=False))
                 except Exception as e:  # per-video isolation
                     if not isinstance(e, ValueError):
                         logger.exception("segment failed for %s", p)
@@ -284,6 +329,7 @@ def make_server(host: str, port: int, precision: str = "float32",
                 model_name: str = "init_model",
                 spool_dir: str | None = None,
                 max_upload_mb: int = 2048,
+                spool_ttl_hours: float = 24.0,
                 certfile: str | None = None,
                 keyfile: str | None = None,
                 client_ca: str | None = None):
@@ -292,18 +338,11 @@ def make_server(host: str, port: int, precision: str = "float32",
     ``certfile``/``keyfile`` enable HTTPS; ``client_ca`` additionally
     demands client certificates signed by that CA (mTLS).
     """
-    from cut_detection_tpu.models.assembly import load_triplet_or_default
-
-    state = _State()
-    state.precision = precision
-    state.spool_dir = spool_dir or tempfile.mkdtemp(prefix="cutdet_spool_")
-    state.max_upload_bytes = max_upload_mb << 20
-    state.net, _ = load_triplet_or_default(model_dir, model_name,
-                                           precision=precision)
-    server = ThreadingHTTPServer((host, port), _make_handler(state))
     if client_ca and not certfile:
         raise ValueError("--client-ca requires --certfile/--keyfile")
     if certfile:
+        # Build (and so validate) the TLS context before the expensive
+        # model load and the port bind.
         import ssl
 
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
@@ -311,7 +350,24 @@ def make_server(host: str, port: int, precision: str = "float32",
         if client_ca:
             ctx.load_verify_locations(client_ca)
             ctx.verify_mode = ssl.CERT_REQUIRED
-        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+
+    from cut_detection_tpu.models.assembly import load_triplet_or_default
+
+    state = _State()
+    state.precision = precision
+    state.spool_dir = spool_dir or tempfile.mkdtemp(prefix="cutdet_spool_")
+    state.max_upload_bytes = max_upload_mb << 20
+    state.spool_ttl_s = spool_ttl_hours * 3600.0
+    state.net, _ = load_triplet_or_default(model_dir, model_name,
+                                           precision=precision)
+    server = ThreadingHTTPServer((host, port), _make_handler(state))
+    if certfile:
+        # do_handshake_on_connect=False defers the TLS handshake to the
+        # first read, which happens in the per-request handler thread —
+        # a slow or stalled client can't block the accept loop (the
+        # handler's rfile timeout bounds stuck handshakes).
+        server.socket = ctx.wrap_socket(server.socket, server_side=True,
+                                        do_handshake_on_connect=False)
     return server, state
 
 
@@ -335,6 +391,7 @@ def main(args=None) -> None:
                             model_dir=ns.model_dir, model_name=ns.model_name,
                             spool_dir=ns.spool_dir,
                             max_upload_mb=ns.max_upload_mb,
+                            spool_ttl_hours=ns.spool_ttl_hours,
                             certfile=ns.certfile, keyfile=ns.keyfile,
                             client_ca=ns.client_ca)
     logging.info("Serving on %s:%d", ns.host, ns.port)

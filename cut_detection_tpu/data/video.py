@@ -249,10 +249,7 @@ class ParallelVideoReader:
             return c
 
     def _worker(self) -> None:
-        if self.backend == "native":
-            dec = _NativeChunkDecoder(self.file_path)
-        else:
-            dec = _Cv2ChunkDecoder(self.file_path)
+        dec = self._new_decoder()
         try:
             pos = -1  # current frame position of this decoder
             while not self._stop.is_set():

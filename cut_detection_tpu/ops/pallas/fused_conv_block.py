@@ -125,15 +125,18 @@ def _strip_rows_for(h: int, cap: int = 24) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_dtype", "nhwc_out", "interpret"))
+                   static_argnames=("out_dtype", "nhwc_out",
+                                    "channel_major_in", "interpret"))
 def fused_conv_block(x, kernel, bias, gamma, beta, mean, var,
                      *, out_dtype=jnp.bfloat16, nhwc_out: bool = True,
+                     channel_major_in: bool = False,
                      interpret: bool = False):
     """One CNNLayer (conv+ReLU+maxpool3+BN), fused, for C_in >= 8.
 
     x:      [B, H, W, C_in] NHWC activations, or channel-major
-            [B, C_in, H, W] (auto-detected by C_in == kernel.shape[2]
-            on the right axis); H need not divide 3 (floor pooling)
+            [B, C_in, H, W] with ``channel_major_in=True`` (explicit —
+            shapes where W == C_in are ambiguous, so no autodetection);
+            H need not divide 3 (floor pooling)
     kernel: [3, 3, C_in, C_out] HWIO float32; bias/gamma/beta/mean/var
             [C_out]
     returns [B, H//3, (W-3)//3 + 1, C_out] NHWC when ``nhwc_out``, else
@@ -144,8 +147,9 @@ def fused_conv_block(x, kernel, bias, gamma, beta, mean, var,
     reference order frameID/net.py:33-40).
     """
     cin, cout = kernel.shape[2], kernel.shape[3]
-    if x.shape[1] == cin and x.shape[3] != cin:
+    if channel_major_in:
         b, _, h, w = x.shape
+        assert x.shape[1] == cin, (x.shape, cin)
         xcm = x
     else:
         b, h, w, _ = x.shape

@@ -39,11 +39,16 @@ setup(
     install_requires=[
         "jax>=0.9.0,<0.10",
         "numpy>=2.0,<3",
-        "opencv-python==5.0.0.93",
+        # Headless variant: same cv2 code (the bit-exact resize surface,
+        # docs/PARITY.md) minus GUI deps, and it matches what the
+        # Dockerfile and CI install — pinning the GUI build here would
+        # make pip install a second conflicting cv2 distribution there.
+        "opencv-python-headless==5.0.0.93",
     ],
     extras_require={
         "train": ["optax>=0.2.6,<0.3", "orbax-checkpoint>=0.11"],
         "serve": [],  # stdlib http.server — no extra deps
+        "flax": ["flax>=0.10"],  # linen mirrors + export --format flax
         "label-ui": ["streamlit>=1.30"],
         "dev": ["pytest>=8", "torch"],
     },

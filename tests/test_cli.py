@@ -88,6 +88,7 @@ def test_export_model_stablehlo(tmp_path):
 def test_export_model_flax(tmp_path):
     """--format flax emits a msgpack checkpoint the linen GluedClassifier
     reproduces the prod logits from (the flax interop's shipped path)."""
+    pytest.importorskip("flax")
     from cut_detection_tpu.cli.export_model import main
 
     out = str(tmp_path / "fexport")

@@ -205,6 +205,36 @@ def test_segment_batch(server, synthetic_video, tmp_path):
     assert "error" in bad
     status, data = _post(base + "/segment_batch", {"input_paths": []})
     assert status == 400
+    # A shared output_path would make every video overwrite one CSV.
+    status, data = _post(base + "/segment_batch", {
+        "input_paths": [synthetic_video], "output_path": "/tmp/x.csv"})
+    assert status == 400
+    assert "output_path" in data["error"]
+
+
+def test_spool_ttl_sweep(server, tmp_path):
+    """Expired spool files are deleted on the next upload."""
+    import os
+    import time as _time
+
+    base, state = server
+    old_ttl = state.spool_ttl_s
+    state.spool_ttl_s = 0.05
+    try:
+        req = urllib.request.Request(base + "/upload?name=a.bin",
+                                     data=b"abc", method="POST")
+        with urllib.request.urlopen(req) as resp:
+            first = json.loads(resp.read())["input_path"]
+        assert os.path.exists(first)
+        _time.sleep(0.2)
+        req = urllib.request.Request(base + "/upload?name=b.bin",
+                                     data=b"def", method="POST")
+        with urllib.request.urlopen(req) as resp:
+            second = json.loads(resp.read())["input_path"]
+        assert not os.path.exists(first)   # swept as expired
+        assert os.path.exists(second)
+    finally:
+        state.spool_ttl_s = old_ttl
 
 
 @pytest.fixture(scope="module")
