@@ -74,6 +74,12 @@ class PrefetchLoader:
     def __init__(self, iterable, depth: int = 2):
         self.iterable = iterable
         self.depth = depth
+        self._stop = threading.Event()
+
+    def close(self) -> None:
+        """Stop the producer thread (for consumers that break early —
+        e.g. ``--frame-limit`` — so decode doesn't run ahead forever)."""
+        self._stop.set()
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
@@ -83,18 +89,33 @@ class PrefetchLoader:
         def producer():
             try:
                 for item in self.iterable:
-                    q.put(item)
+                    while not self._stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
-
+                while True:
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if self._stop.is_set():
+                            return
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            self.close()

@@ -137,6 +137,7 @@ def classify_video(
     precision: str = "float32",
     mesh=None,
     decoder: str = "cv2",
+    prefetch_batches: int = 2,
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
     """Run decode + classification; return per-frame (conf, pred, stats).
 
@@ -200,7 +201,16 @@ def classify_video(
     meter.start()
     confs, preds, valids = [], [], []
     stats = PipelineStats()
-    for i, (batch, valid) in enumerate(batch_frames(source, batch_size)):
+    # Decode-ahead: batch assembly runs on a producer thread so host
+    # decode overlaps the host->device transfer + dispatch of the
+    # previous batch (the two dominant e2e stages; without this they
+    # serialize and e2e ~= decode + transfer instead of max(of them)).
+    from cut_detection_tpu.data.loader import PrefetchLoader
+
+    batches = PrefetchLoader(batch_frames(source, batch_size),
+                             depth=max(0, prefetch_batches)) \
+        if prefetch_batches > 0 else batch_frames(source, batch_size)
+    for i, (batch, valid) in enumerate(batches):
         conf, pred = step(net.bundle, batch)  # async dispatch
         confs.append(conf)
         preds.append(pred)
@@ -213,6 +223,8 @@ def classify_video(
                         (i + 1) * batch_size)
         # Reference early-break semantics (segment_video.py:53-58).
         if frame_limit is not None and (i + 1) * batch_size > frame_limit:
+            if isinstance(batches, PrefetchLoader):
+                batches.close()
             break
 
     # Single blocking collect at the end.

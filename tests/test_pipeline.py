@@ -107,6 +107,52 @@ def test_frame_limit_semantics(synthetic_video, tmp_path):
     assert open(ref_csv, "rb").read() == open(our_csv, "rb").read()
 
 
+def test_prefetch_matches_unprefetched(synthetic_video):
+    """The decode-ahead producer thread changes timing, not results —
+    scores are identical with prefetch on (default) and off, including
+    under the frame-limit early break (which must also stop the
+    producer)."""
+    a = classify_video(synthetic_video, batch_size=32, print_every=0,
+                       prefetch_batches=2)
+    b = classify_video(synthetic_video, batch_size=32, print_every=0,
+                       prefetch_batches=0)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+    la = classify_video(synthetic_video, batch_size=32, frame_limit=50,
+                        print_every=0, prefetch_batches=2)
+    lb = classify_video(synthetic_video, batch_size=32, frame_limit=50,
+                        print_every=0, prefetch_batches=0)
+    np.testing.assert_array_equal(la[0], lb[0])
+
+
+def test_prefetch_loader_close_stops_producer():
+    """PrefetchLoader.close() (and abandoning the iterator) stops the
+    producer thread rather than decoding ahead forever."""
+    import itertools
+    import threading
+    import time
+
+    from cut_detection_tpu.data.loader import PrefetchLoader
+
+    produced = []
+
+    def gen():
+        for i in itertools.count():
+            produced.append(i)
+            yield i
+
+    loader = PrefetchLoader(gen(), depth=2)
+    it = iter(loader)
+    assert next(it) == 0
+    loader.close()
+    time.sleep(0.3)
+    n = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n  # producer stopped
+    assert threading.active_count() < 50
+
+
 def test_parallel_decode_matches_sequential(synthetic_video):
     from cut_detection_tpu.data.video import (
         ParallelVideoReader,
