@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "{model_dir}/{model_name}_conv.npz "
                         "(supervised_training.py:105-110 analog).")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 = mixed precision: bf16 MXU operands, "
+                        "f32 activations/params/optimizer (the standard "
+                        "TPU training mode).")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--checkpoint-every-n", type=int, default=1,
                    help="Save a resumable full-state snapshot every N "
@@ -102,6 +107,7 @@ def main(args=None) -> None:
         load_conv_net=ns.load_conv_net,
         seed=ns.seed,
         checkpoint_every_n=ns.checkpoint_every_n,
+        compute_dtype=None if ns.precision == "float32" else ns.precision,
     )
 
     datasets = [

@@ -137,6 +137,11 @@ class TrainConfig:
     remat: bool = False               # jax.checkpoint the conv forward:
     #   recompute activations in the backward pass, trading FLOPs for HBM —
     #   irrelevant at this model's size, the standard lever if it grows
+    compute_dtype: str | None = None  # None = full f32; "bfloat16" =
+    #   mixed precision (bf16 MXU operands, f32 activations/params/
+    #   optimizer — the standard TPU training mode).  "bfloat16_full"
+    #   is inference-only: bf16 activations would feed batch-norm
+    #   statistics and gradients, degrading training numerics.
 
 
 @dataclasses.dataclass

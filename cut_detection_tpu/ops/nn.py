@@ -181,13 +181,20 @@ def batch_norm_train(x, mean_running, var_running, gamma, beta,
     count = 1
     for a in axes:
         count *= x.shape[a]
-    batch_mean = jnp.mean(x, axis=axes)
-    batch_var = jnp.mean(jnp.square(x - batch_mean), axis=axes)  # biased
-    y = (x - batch_mean) * jax.lax.rsqrt(batch_var + eps) * gamma + beta
+    # Statistics and normalization always run in f32 (an f32 island for
+    # bf16 mixed-precision training; a no-op for f32 inputs), with the
+    # output cast back so the surrounding dtype region stays uniform —
+    # JAX's conv/dot VJPs require matching operand/cotangent dtypes.
+    in_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    batch_mean = jnp.mean(xf, axis=axes)
+    batch_var = jnp.mean(jnp.square(xf - batch_mean), axis=axes)  # biased
+    y = (xf - batch_mean) * jax.lax.rsqrt(batch_var + eps) \
+        * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     correction = count / max(count - 1, 1)
     new_mean = (1 - momentum) * mean_running + momentum * batch_mean
     new_var = (1 - momentum) * var_running + momentum * batch_var * correction
-    return y, new_mean, new_var
+    return y.astype(in_dtype), new_mean, new_var
 
 
 def linear(x, weight, bias=None, *, compute_dtype=None):

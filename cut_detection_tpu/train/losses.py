@@ -19,8 +19,11 @@ BIG_NUMBER = 1e9  # frameID/metrics.py:5
 
 
 def cross_entropy_sum(logits, labels) -> jax.Array:
-    """Sum-reduced softmax cross entropy (CrossEntropyLoss(reduction='sum'))."""
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    """Sum-reduced softmax cross entropy (CrossEntropyLoss(reduction='sum')).
+
+    Always reduces in f32 (an f32 island for mixed-precision training;
+    a no-op when logits are already f32)."""
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logprobs, labels[:, None], axis=-1)[:, 0]
     return jnp.sum(nll)
 

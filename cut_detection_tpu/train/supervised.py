@@ -36,6 +36,29 @@ from cut_detection_tpu.train.losses import cross_entropy_sum
 logger = logging.getLogger(__name__)
 
 
+def _train_compute_dtype(cfg) -> str | None:
+    """Validate the training precision mode.
+
+    Mixed precision for training means bf16 MXU operands with f32
+    activations, parameters, gradients, and optimizer state
+    (``compute_dtype="bfloat16"``).  The inference-only
+    ``bfloat16_full`` mode is rejected: bf16 activations would feed the
+    batch-norm batch statistics and the backward pass.
+    """
+    cd = getattr(cfg, "compute_dtype", None)
+    if cd not in (None, "bfloat16"):
+        raise ValueError(
+            f"training compute_dtype must be None or 'bfloat16', got {cd!r}")
+    # Internally the differentiable region must be uniformly bf16 (JAX's
+    # conv/dot VJPs require cotangent dtype == operand dtype, so the
+    # inference-style "bf16 operands, f32 outputs" mix cannot be
+    # differentiated).  bf16 activations + the f32 islands inside
+    # batch_norm_train / cross_entropy_sum = standard TPU mixed
+    # precision; params, grads and optimizer state stay f32 because the
+    # per-op casts' VJPs deliver f32 cotangents at the f32 leaves.
+    return "bfloat16_full" if cd == "bfloat16" else None
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW with torch defaults (lr 1e-3, betas 0.9/0.999, eps 1e-8,
     weight_decay 0.01), matching ``getattr(torch.optim, "AdamW")()``
@@ -92,8 +115,11 @@ def make_train_step(cfg: TrainConfig, optimizer=None):
     )
     optimizer = optimizer or make_optimizer(cfg)
 
+    cd = _train_compute_dtype(cfg)
+
     def _conv_forward(conv_p, conv_s, x):
-        return apply_frame_conv(conv_p, conv_s, x, conv_cfg, train=True)
+        return apply_frame_conv(conv_p, conv_s, x, conv_cfg, train=True,
+                                compute_dtype=cd)
 
     if cfg.remat:
         # Rematerialize conv activations in the backward pass (trade FLOPs
@@ -104,7 +130,8 @@ def make_train_step(cfg: TrainConfig, optimizer=None):
         feats, conv_s = _conv_forward(params["conv"], bn_state["conv"], x)
         logits, lin_s = apply_frame_linear(params["linear"],
                                            bn_state["linear"], feats,
-                                           lin_cfg, train=True)
+                                           lin_cfg, train=True,
+                                           compute_dtype=cd)
         loss = cross_entropy_sum(logits, y)
         return loss, ({"conv": conv_s, "linear": lin_s}, logits)
 
@@ -144,14 +171,17 @@ def make_eval_step(cfg: TrainConfig):
         output_size=cfg.output_size,
     )
 
+    cd = _train_compute_dtype(cfg)
+
     def step(state, x_u8, y):
         x = x_u8.astype(jnp.float32) / 255.0
         feats, _ = apply_frame_conv(state["params"]["conv"],
                                     state["bn_state"]["conv"], x, conv_cfg,
-                                    train=False)
+                                    train=False, compute_dtype=cd)
         logits, _ = apply_frame_linear(state["params"]["linear"],
                                        state["bn_state"]["linear"], feats,
-                                       lin_cfg, train=False)
+                                       lin_cfg, train=False,
+                                       compute_dtype=cd)
         loss = cross_entropy_sum(logits, y)
         pred = jnp.argmax(logits, axis=1)
         classes = jnp.arange(cfg.output_size)

@@ -45,6 +45,46 @@ def test_supervised_step_decreases_loss():
     assert int(state["step"]) == 30
 
 
+def test_mixed_precision_training():
+    """compute_dtype='bfloat16' trains (loss decreases), keeps params
+    and optimizer state f32, and tracks the f32 run's trajectory to
+    bf16-operand tolerance; bfloat16_full is rejected for training."""
+    from cut_detection_tpu.train.supervised import (
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(11)
+    x, y = _batch(rng, b=32)
+    losses = {}
+    for cd in (None, "bfloat16"):
+        cfg = _tiny_cfg(learning_rate=3e-3, compute_dtype=cd)
+        step, _ = make_train_step(cfg)
+        step = jax.jit(step)
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        for _ in range(20):
+            state, m = step(state, x, y)
+        losses[cd] = float(m["loss"])
+        for leaf in jax.tree_util.tree_leaves(state["params"]):
+            assert leaf.dtype == np.float32
+        for leaf in jax.tree_util.tree_leaves(state["opt_state"]):
+            if hasattr(leaf, "dtype") and np.issubdtype(leaf.dtype,
+                                                        np.floating):
+                assert leaf.dtype == np.float32
+        # Eval step accepts the same mode.
+        ev = jax.jit(make_eval_step(cfg))
+        out = ev(state, x, y)
+        assert np.isfinite(float(out["loss"]))
+    # Both converge; bf16 tracks f32 loosely (same order of magnitude).
+    f32, bf16 = losses[None], losses["bfloat16"]
+    assert bf16 < 0.5 * 32 * np.log(3)  # well below initial CE-sum
+    assert abs(bf16 - f32) < max(5.0, 0.5 * f32)
+
+    with pytest.raises(ValueError, match="bfloat16_full"):
+        make_train_step(_tiny_cfg(compute_dtype="bfloat16_full"))
+
+
 def test_remat_matches_plain_training():
     from cut_detection_tpu.train.supervised import (
         init_train_state,
