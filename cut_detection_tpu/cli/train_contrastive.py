@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-dir", type=str, default="./models")
     p.add_argument("--model-name", type=str, default="init_model")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 = mixed precision (bf16 MXU operands, "
+                        "f32 params/optimizer; NT-Xent stays f32).")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--cpu", action="store_true",
@@ -70,6 +74,7 @@ def main(args=None) -> None:
         model_dir=ns.model_dir,
         model_name=ns.model_name,
         seed=ns.seed,
+        compute_dtype=None if ns.precision == "float32" else ns.precision,
     )
     ds = ContrastiveFrameDataset(ns.data_dir, ext=".jpg")
     logging.info("Dataset size: %d frames", len(ds))

@@ -163,3 +163,4 @@ class ContrastiveConfig:
     model_dir: str = "./models"
     model_name: str = "init_model"
     seed: int = 0
+    compute_dtype: str | None = None  # None | "bfloat16" (see TrainConfig)

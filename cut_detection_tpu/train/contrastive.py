@@ -76,13 +76,17 @@ def make_contrastive_step(cfg: ContrastiveConfig, optimizer=None,
     """
     conv_cfg, lin_cfg = _configs(cfg)
     optimizer = optimizer or make_optimizer(cfg)
+    from cut_detection_tpu.train.supervised import _train_compute_dtype
+
+    cd = _train_compute_dtype(cfg)
 
     def loss_fn(params, bn_state, views):
         feats, conv_s = apply_frame_conv(params["conv"], bn_state["conv"],
-                                         views, conv_cfg, train=True)
+                                         views, conv_cfg, train=True,
+                                         compute_dtype=cd)
         proj, lin_s = apply_frame_linear(params["linear"],
                                          bn_state["linear"], feats, lin_cfg,
-                                         train=True)
+                                         train=True, compute_dtype=cd)
         loss, logits_ab, labels = ntxent_loss(
             proj, temperature=cfg.temperature)
         acc = jnp.mean(jnp.argmax(logits_ab, axis=1) == labels)

@@ -37,6 +37,11 @@ def ntxent_loss(x, *, temperature: float = 1.0, h_norm: bool = True):
     view's similarities to [other view ‖ own view (diag-masked)] and the
     aligned-index labels.
     """
+    # f32 island: similarity logits and softmax in full precision (a
+    # no-op for f32 projections; required numerics under bf16 mixed-
+    # precision training, where BIG_NUMBER alone overflows bf16's range
+    # headroom after the temperature divide).
+    x = x.astype(jnp.float32)
     if h_norm:
         x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
     b = x.shape[0] // 2

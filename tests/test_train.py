@@ -85,6 +85,35 @@ def test_mixed_precision_training():
         make_train_step(_tiny_cfg(compute_dtype="bfloat16_full"))
 
 
+def test_mixed_precision_contrastive():
+    """The SimCLR step also trains under bfloat16 mixed precision, with
+    the NT-Xent similarity matrix kept in f32."""
+    from cut_detection_tpu.train.contrastive import (
+        init_contrastive_state,
+        make_contrastive_step,
+    )
+
+    cfg = ContrastiveConfig(conv_layers=2, conv_hidden_channels=8,
+                            linear_layers=2, linear_size=8, output_size=8,
+                            batch_size=8, epochs=1,
+                            compute_dtype="bfloat16")
+    step, _ = make_contrastive_step(cfg, view_size=(36, 64))
+    step = jax.jit(step)
+    state = init_contrastive_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 255, size=(8, 72, 128, 3), dtype=np.uint8)
+    first = None
+    key = jax.random.PRNGKey(0)  # fixed views: stationary objective
+    for _ in range(10):
+        state, m = step(state, key, x)
+        if first is None:
+            first = float(m["loss"])
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < first
+    for leaf in jax.tree_util.tree_leaves(state["params"]):
+        assert leaf.dtype == np.float32
+
+
 def test_remat_matches_plain_training():
     from cut_detection_tpu.train.supervised import (
         init_train_state,
