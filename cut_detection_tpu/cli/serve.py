@@ -19,6 +19,10 @@ API (stdlib http.server; no extra dependencies):
 - ``POST /upload?name=game.mp4`` raw video bytes -> {"input_path": ...}
   (spooled under --spool-dir; size-capped by --max-upload-mb) — remote
   ingestion without a shared volume mount.
+- ``POST /reload`` body {optional "model_dir", "model_name",
+  "precision"} — hot-swap the served model without restarting (loads
+  and validates the new triplet first, then swaps under the device
+  lock; in-flight requests finish on the old model).
 
 TLS: ``--certfile/--keyfile`` serve HTTPS; adding ``--client-ca``
 requires client certificates (mTLS) so only holders of certs signed by
@@ -268,9 +272,44 @@ def _make_handler(state: _State):
                 return
             self._reply(200, {"input_path": path, "bytes": length})
 
+        def _do_reload(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except ValueError as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+                return
+            from cut_detection_tpu.models.assembly import (
+                load_triplet_or_default,
+            )
+
+            try:
+                # Load + validate OUTSIDE the lock (requests keep being
+                # served on the old model), then swap atomically.
+                net, _ = load_triplet_or_default(
+                    req.get("model_dir"),
+                    req.get("model_name", "init_model"),
+                    precision=req.get("precision", state.precision))
+            except Exception as e:
+                self._reply(400, {"error": f"reload failed: "
+                                           f"{type(e).__name__}: {e}"})
+                return
+            with state.lock:
+                state.net = net
+                state.precision = net.precision
+            logger.info("Reloaded model (dir=%s name=%s precision=%s)",
+                        req.get("model_dir"),
+                        req.get("model_name", "init_model"), net.precision)
+            self._reply(200, {"status": "reloaded",
+                              "precision": net.precision,
+                              "params": net.num_params()})
+
         def do_POST(self):
             if self.path.split("?", 1)[0] == "/upload":
                 self._do_upload()
+                return
+            if self.path == "/reload":
+                self._do_reload()
                 return
             if self.path not in ("/segment", "/segment_batch"):
                 self._reply(404, {"error": "not found"})

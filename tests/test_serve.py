@@ -237,6 +237,46 @@ def test_spool_ttl_sweep(server, tmp_path):
         state.spool_ttl_s = old_ttl
 
 
+def test_reload_model(server, synthetic_video, tmp_path):
+    """/reload hot-swaps to a user triplet and back to the default; bad
+    dirs are rejected without disturbing the serving model."""
+    import jax
+
+    from cut_detection_tpu.config import TrainConfig
+    from cut_detection_tpu.train.checkpointing import save_model_triplet
+    from cut_detection_tpu.train.supervised import init_train_state
+
+    base, state = server
+    cfg = TrainConfig(conv_layers=2, conv_hidden_channels=8, avg_pool_size=2,
+                      linear_layers=2, linear_size=8, output_size=3,
+                      batch_size=8, epochs=1)
+    tstate = init_train_state(jax.random.PRNGKey(1), cfg)
+    save_model_triplet(str(tmp_path), "swap", tstate, cfg)
+
+    status, data = _post(base + "/reload", {
+        "model_dir": str(tmp_path), "model_name": "swap"})
+    assert status == 200 and data["status"] == "reloaded"
+    small_params = data["params"]
+
+    # Serving works on the swapped model.
+    out = str(tmp_path / "swapped.csv")
+    status, data = _post(base + "/segment", {
+        "input_path": synthetic_video, "output_path": out,
+        "batch_size": 64, "frame_limit": 64})
+    assert status == 200
+
+    # A bad reload leaves the current model serving.
+    status, data = _post(base + "/reload", {
+        "model_dir": "/no/such/dir", "model_name": "x"})
+    assert status == 400
+    assert state.net.num_params() == small_params
+
+    # Back to the bundled prod net for the rest of the module's tests.
+    status, data = _post(base + "/reload", {})
+    assert status == 200
+    assert data["params"] == 67971
+
+
 @pytest.fixture(scope="module")
 def tls_certs(tmp_path_factory):
     """Self-signed server cert + a client CA with one signed client cert."""
