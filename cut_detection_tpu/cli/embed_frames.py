@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resize", type=int, default=256)
     p.add_argument("--frame-limit", type=int, default=None)
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full"],
+                   choices=["float32", "bfloat16", "bfloat16_full",
+                            "uint8_pool"],
                    default="float32")
     p.add_argument("--cpu", action="store_true")
     return p

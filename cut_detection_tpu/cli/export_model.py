@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=144)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full"],
+                   choices=["float32", "bfloat16", "bfloat16_full",
+                            "uint8_pool"],
                    default="float32",
                    help="Precision mode baked into the exported program.")
     p.add_argument("--output", type=str, default=None)

@@ -72,7 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", type=str, default=None,
                    help="Directory for a jax.profiler trace of the run.")
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full"],
+                   choices=["float32", "bfloat16", "bfloat16_full",
+                            "uint8_pool"],
                    default="float32",
                    help="float32 guarantees reference-parity CSVs; "
                         "bfloat16 uses bf16 MXU operands; bfloat16_full "

@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int, default=1)
     p.add_argument("--device-resize", action="store_true")
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full"],
+                   choices=["float32", "bfloat16", "bfloat16_full",
+                            "uint8_pool"],
                    default="float32")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard frame batches across all local devices.")

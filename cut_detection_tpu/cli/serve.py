@@ -59,7 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full"],
+                   choices=["float32", "bfloat16", "bfloat16_full",
+                            "uint8_pool"],
                    default="float32")
     p.add_argument("--model-dir", type=str, default=None,
                    help="Serve a trained triplet instead of the bundled "

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from cut_detection_tpu.ops.nn import (
+    BN_EPS,
     batch_norm_infer,
     batch_norm_train,
     conv2d_same,
@@ -65,7 +66,37 @@ def init_conv_block(key, in_ch: int, out_ch: int, *, kernel: int = 3,
 
 def apply_conv_block(params, state, x, *, train: bool = False,
                      pool_window: int = 3, compute_dtype=None):
-    """conv -> ReLU -> maxpool -> BN, exactly net.py:33-40's order."""
+    """conv -> ReLU -> maxpool -> BN, exactly net.py:33-40's order.
+
+    ``compute_dtype="uint8_pool"`` (eval only, needs BN): the fastest
+    precision rung — conv runs like ``bfloat16_full`` but the post-ReLU
+    activation is quantized to uint8 before the pool, so the conv
+    output's HBM round trip (the pipeline's dominant traffic, 2 B/elem
+    at bf16) shrinks to 1 B/elem.  Exactly valid because max pooling
+    commutes with the monotonic per-channel quantization; the only
+    error is the uint8 rounding of the pooled survivor (~0.4% of its
+    channel's dynamic range).  Scales derive from the checkpoint's own
+    BN running statistics (mean + 8*sigma of the pooled activation
+    covers the pre-pool distribution's tail), so no calibration pass is
+    needed and user-trained checkpoints work unchanged.  Accuracy is
+    gated by the eval corpus + fixtures like the other fast modes, not
+    byte-parity.
+    """
+    if str(compute_dtype) == "uint8_pool" and not train and "gamma" in params:
+        z = conv2d_same(x, params["kernel"], params["bias"],
+                        compute_dtype="bfloat16_full")
+        z = jax.nn.relu(z).astype(jnp.float32)
+        scale = (state["mean"] + 8.0 * jnp.sqrt(state["var"] + BN_EPS)) / 255.0
+        scale = jnp.maximum(scale.astype(jnp.float32), 1e-12)
+        q = jnp.clip(jnp.rint(z / scale), 0.0, 255.0).astype(jnp.uint8)
+        p = max_pool(q, pool_window)
+        x = p.astype(jnp.float32) * scale
+        x = batch_norm_infer(x, state["mean"], state["var"],
+                             params["gamma"], params["beta"])
+        # bf16 inter-layer activations, matching bfloat16_full's traffic.
+        return x.astype(jnp.bfloat16), state
+    if str(compute_dtype) == "uint8_pool":
+        compute_dtype = "bfloat16_full"  # train / BN-less fallback
     x = conv2d_same(x, params["kernel"], params["bias"],
                     compute_dtype=compute_dtype)
     x = jax.nn.relu(x)

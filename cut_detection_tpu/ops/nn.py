@@ -80,11 +80,14 @@ def max_pool(x, window: int = 3, stride: int | None = None):
     """
     if stride is None:
         stride = window
-    # Plain -inf literal keeps reduce_window on the max-pool autodiff path
+    # Plain literal init keeps reduce_window on the max-pool autodiff path
     # (select-and-scatter VJP); a traced init value breaks linearization.
+    # Integer inputs (the uint8_pool precision rung) use the dtype's min.
+    init = (np.asarray(jnp.iinfo(x.dtype).min, dtype=x.dtype)[()]
+            if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
     return jax.lax.reduce_window(
         x,
-        -jnp.inf,
+        init,
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

@@ -57,7 +57,8 @@ def test_float32_full_corpus(tmp_path):
         assert res["frame_accuracy"] == 1.0, (name, res)
 
 
-@pytest.mark.parametrize("precision", ["bfloat16", "bfloat16_full"])
+@pytest.mark.parametrize("precision", ["bfloat16", "bfloat16_full",
+                                       "uint8_pool"])
 def test_bf16_modes_hold_accuracy(precision, tmp_path):
     name, n = CORPUS[0]  # corpus_a exercises all three classes
     out = str(tmp_path / f"{name}_{precision}.csv")

@@ -14,16 +14,21 @@ def frames():
 
 def test_modes_agree_on_argmax(frames):
     nets = {p: load_default_net(precision=p)[0]
-            for p in ("float32", "bfloat16", "bfloat16_full")}
+            for p in ("float32", "bfloat16", "bfloat16_full",
+                      "uint8_pool")}
     logits = {p: np.asarray(n(frames)) for p, n in nets.items()}
     # bf16 operand truncation moves logits by O(1e-2); class decisions on
     # non-borderline inputs must not move.
     assert np.abs(logits["float32"] - logits["bfloat16"]).max() < 0.1
     assert np.abs(logits["float32"] - logits["bfloat16_full"]).max() < 0.3
+    # uint8_pool adds ~0.4% activation rounding per conv layer.
+    assert np.abs(logits["float32"] - logits["uint8_pool"]).max() < 0.5
     np.testing.assert_array_equal(logits["float32"].argmax(1),
                                   logits["bfloat16"].argmax(1))
     np.testing.assert_array_equal(logits["float32"].argmax(1),
                                   logits["bfloat16_full"].argmax(1))
+    np.testing.assert_array_equal(logits["float32"].argmax(1),
+                                  logits["uint8_pool"].argmax(1))
 
 
 def test_bf16_full_conv_outputs_bf16():
