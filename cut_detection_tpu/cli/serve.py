@@ -26,7 +26,9 @@ API (stdlib http.server; no extra dependencies):
 
 TLS: ``--certfile/--keyfile`` serve HTTPS; adding ``--client-ca``
 requires client certificates (mTLS) so only holders of certs signed by
-that CA can reach the daemon.
+that CA can reach the daemon.  ``--auth-token`` (or $CUTDET_AUTH_TOKEN)
+instead gates every endpoint except /healthz on a bearer token — the
+lighter-weight option when TLS terminates at a fronting proxy.
 
 Requests are serialized through a lock — the device is a single-program
 resource; concurrency belongs at the batch level, not the request level.
@@ -81,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--client-ca", type=str, default=None,
                    help="CA bundle; require client certs signed by it "
                         "(mTLS).  Implies --certfile/--keyfile.")
+    p.add_argument("--auth-token", type=str,
+                   default=os.environ.get("CUTDET_AUTH_TOKEN"),
+                   help="Require 'Authorization: Bearer <token>' on every "
+                        "endpoint except /healthz (default from "
+                        "$CUTDET_AUTH_TOKEN).")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -101,6 +108,7 @@ class _State:
         self.spool_dir = None
         self.max_upload_bytes = 2 << 30
         self.spool_ttl_s = 24 * 3600.0
+        self.auth_token = None
 
     def sweep_spool(self) -> int:
         """Delete spool files older than the TTL; returns count removed.
@@ -169,6 +177,21 @@ def _make_handler(state: _State):
         def log_message(self, fmt, *args):  # route through logging
             logger.info("%s - %s", self.address_string(), fmt % args)
 
+        def _authorized(self) -> bool:
+            """Bearer-token gate for every endpoint except /healthz.
+
+            Constant-time comparison; when --auth-token is unset the
+            daemon is open (use behind a trusted network or mTLS)."""
+            if not state.auth_token:
+                return True
+            got = self.headers.get("Authorization", "")
+            import hmac
+
+            if hmac.compare_digest(got, "Bearer " + state.auth_token):
+                return True
+            self._reply(401, {"error": "missing or bad bearer token"})
+            return False
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {
@@ -177,7 +200,8 @@ def _make_handler(state: _State):
                     "precision": state.precision,
                 })
             elif self.path == "/metrics":
-                self._reply(200, state.metrics())
+                if self._authorized():
+                    self._reply(200, state.metrics())
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -306,6 +330,8 @@ def _make_handler(state: _State):
                               "params": net.num_params()})
 
         def do_POST(self):
+            if not self._authorized():
+                return
             if self.path.split("?", 1)[0] == "/upload":
                 self._do_upload()
                 return
@@ -370,6 +396,7 @@ def make_server(host: str, port: int, precision: str = "float32",
                 spool_dir: str | None = None,
                 max_upload_mb: int = 2048,
                 spool_ttl_hours: float = 24.0,
+                auth_token: str | None = None,
                 certfile: str | None = None,
                 keyfile: str | None = None,
                 client_ca: str | None = None):
@@ -398,6 +425,7 @@ def make_server(host: str, port: int, precision: str = "float32",
     state.spool_dir = spool_dir or tempfile.mkdtemp(prefix="cutdet_spool_")
     state.max_upload_bytes = max_upload_mb << 20
     state.spool_ttl_s = spool_ttl_hours * 3600.0
+    state.auth_token = auth_token
     state.net, _ = load_triplet_or_default(model_dir, model_name,
                                            precision=precision)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
@@ -432,6 +460,7 @@ def main(args=None) -> None:
                             spool_dir=ns.spool_dir,
                             max_upload_mb=ns.max_upload_mb,
                             spool_ttl_hours=ns.spool_ttl_hours,
+                            auth_token=ns.auth_token,
                             certfile=ns.certfile, keyfile=ns.keyfile,
                             client_ca=ns.client_ca)
     logging.info("Serving on %s:%d", ns.host, ns.port)

@@ -338,6 +338,34 @@ def test_tls_and_mtls(tls_certs):
         srv.shutdown()
 
 
+def test_auth_token_gate(server):
+    """With auth_token set, everything but /healthz returns 401 without
+    the bearer header and works with it."""
+    base, state = server
+    state.auth_token = "sekrit"
+    try:
+        with urllib.request.urlopen(base + "/healthz") as resp:
+            assert resp.status == 200  # liveness stays open
+
+        def get(path, token=None):
+            req = urllib.request.Request(base + path)
+            if token:
+                req.add_header("Authorization", "Bearer " + token)
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert get("/metrics") == 401
+        assert get("/metrics", "wrong") == 401
+        assert get("/metrics", "sekrit") == 200
+        status, _ = _post(base + "/segment", {"input_path": "/x.mp4"})
+        assert status == 401
+    finally:
+        state.auth_token = None
+
+
 def test_client_ca_requires_certfile():
     from cut_detection_tpu.cli.serve import make_server
 
