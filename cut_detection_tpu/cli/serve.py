@@ -20,9 +20,14 @@ API (stdlib http.server; no extra dependencies):
   (spooled under --spool-dir; size-capped by --max-upload-mb) — remote
   ingestion without a shared volume mount.
 - ``POST /reload`` body {optional "model_dir", "model_name",
-  "precision"} — hot-swap the served model without restarting (loads
-  and validates the new triplet first, then swaps under the device
-  lock; in-flight requests finish on the old model).
+  "precision", "model"} — hot-swap a served model without restarting
+  (loads and validates the new triplet first, then swaps under the
+  device lock; in-flight requests finish on the old model).
+
+Multi-model routing: ``--model NAME=DIR[:MODEL_NAME]`` (repeatable)
+preloads additional checkpoints; requests pick one with
+``{"model": "NAME"}`` (the bundled/default model is ``"default"``), and
+``/reload`` with ``"model": "NAME"`` swaps that entry.
 
 TLS: ``--certfile/--keyfile`` serve HTTPS; adding ``--client-ca``
 requires client certificates (mTLS) so only holders of certs signed by
@@ -68,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Serve a trained triplet instead of the bundled "
                         "prod classifier.")
     p.add_argument("--model-name", type=str, default="init_model")
+    p.add_argument("--model", action="append", default=[],
+                   metavar="NAME=DIR[:MODEL_NAME]",
+                   help="Preload an extra checkpoint under NAME "
+                        "(repeatable); requests select it with "
+                        '{"model": "NAME"}.')
     p.add_argument("--spool-dir", type=str, default=None,
                    help="Directory for /upload ingestion (default: a "
                         "fresh tempdir).")
@@ -109,6 +119,7 @@ class _State:
         self.max_upload_bytes = 2 << 30
         self.spool_ttl_s = 24 * 3600.0
         self.auth_token = None
+        self.nets = {}  # name -> GluedNet ("default" = self.net)
 
     def sweep_spool(self) -> int:
         """Delete spool files older than the TTL; returns count removed.
@@ -198,6 +209,7 @@ def _make_handler(state: _State):
                     "status": "ok",
                     "requests_served": state.requests_served,
                     "precision": state.precision,
+                    "models": ["default"] + sorted(state.nets),
                 })
             elif self.path == "/metrics":
                 if self._authorized():
@@ -211,6 +223,13 @@ def _make_handler(state: _State):
             the response payload.  Raises ValueError for bad inputs."""
             from cut_detection_tpu.pipeline import segment_video_file
 
+            model = req.get("model", "default")
+            net = state.net if model == "default" else \
+                state.nets.get(model)
+            if net is None:
+                raise ValueError(
+                    f"unknown model {model!r}; loaded: "
+                    f"{['default'] + sorted(state.nets)}")
             kwargs = {
                 k: req[k] for k in (
                     "output_path", "base_threshold", "blank_threshold",
@@ -230,7 +249,7 @@ def _make_handler(state: _State):
                 with state.lock:
                     t1 = time.time()
                     out, seg, stats = segment_video_file(
-                        input_path, output_path, net=state.net,
+                        input_path, output_path, net=net,
                         print_every=0, **kwargs)
             finally:
                 with state.meta_lock:
@@ -319,13 +338,17 @@ def _make_handler(state: _State):
                 self._reply(400, {"error": f"reload failed: "
                                            f"{type(e).__name__}: {e}"})
                 return
+            slot = req.get("model", "default")
             with state.lock:
-                state.net = net
-                state.precision = net.precision
-            logger.info("Reloaded model (dir=%s name=%s precision=%s)",
-                        req.get("model_dir"),
+                if slot == "default":
+                    state.net = net
+                    state.precision = net.precision
+                else:
+                    state.nets[slot] = net
+            logger.info("Reloaded model %r (dir=%s name=%s precision=%s)",
+                        slot, req.get("model_dir"),
                         req.get("model_name", "init_model"), net.precision)
-            self._reply(200, {"status": "reloaded",
+            self._reply(200, {"status": "reloaded", "model": slot,
                               "precision": net.precision,
                               "params": net.num_params()})
 
@@ -397,6 +420,7 @@ def make_server(host: str, port: int, precision: str = "float32",
                 max_upload_mb: int = 2048,
                 spool_ttl_hours: float = 24.0,
                 auth_token: str | None = None,
+                extra_models: dict | None = None,
                 certfile: str | None = None,
                 keyfile: str | None = None,
                 client_ca: str | None = None):
@@ -428,6 +452,9 @@ def make_server(host: str, port: int, precision: str = "float32",
     state.auth_token = auth_token
     state.net, _ = load_triplet_or_default(model_dir, model_name,
                                            precision=precision)
+    for nm, (mdir, mname) in (extra_models or {}).items():
+        state.nets[nm], _ = load_triplet_or_default(mdir, mname,
+                                                    precision=precision)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     if certfile:
         # do_handshake_on_connect=False defers the TLS handshake to the
@@ -437,6 +464,21 @@ def make_server(host: str, port: int, precision: str = "float32",
         server.socket = ctx.wrap_socket(server.socket, server_side=True,
                                         do_handshake_on_connect=False)
     return server, state
+
+
+def _parse_model_flags(entries) -> dict:
+    """--model NAME=DIR[:MODEL_NAME] -> {name: (dir, model_name)}."""
+    out = {}
+    for e in entries or []:
+        if "=" not in e:
+            raise ValueError(f"--model expects NAME=DIR[:MODEL_NAME]: {e}")
+        name, rest = e.split("=", 1)
+        if ":" in rest:
+            mdir, mname = rest.rsplit(":", 1)
+        else:
+            mdir, mname = rest, "init_model"
+        out[name] = (mdir, mname)
+    return out
 
 
 def main(args=None) -> None:
@@ -461,6 +503,7 @@ def main(args=None) -> None:
                             max_upload_mb=ns.max_upload_mb,
                             spool_ttl_hours=ns.spool_ttl_hours,
                             auth_token=ns.auth_token,
+                            extra_models=_parse_model_flags(ns.model),
                             certfile=ns.certfile, keyfile=ns.keyfile,
                             client_ca=ns.client_ca)
     logging.info("Serving on %s:%d", ns.host, ns.port)

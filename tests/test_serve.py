@@ -338,6 +338,47 @@ def test_tls_and_mtls(tls_certs):
         srv.shutdown()
 
 
+def test_multi_model_routing(server, synthetic_video, tmp_path):
+    """Requests route to preloaded models by name; /reload can swap a
+    named slot; unknown names are a 400."""
+    import jax
+
+    from cut_detection_tpu.cli.serve import _parse_model_flags
+    from cut_detection_tpu.config import TrainConfig
+    from cut_detection_tpu.train.checkpointing import save_model_triplet
+    from cut_detection_tpu.train.supervised import init_train_state
+
+    assert _parse_model_flags(["a=/d", "b=/e:custom"]) == {
+        "a": ("/d", "init_model"), "b": ("/e", "custom")}
+
+    base, state = server
+    cfg = TrainConfig(conv_layers=2, conv_hidden_channels=8, avg_pool_size=2,
+                      linear_layers=2, linear_size=8, output_size=3,
+                      batch_size=8, epochs=1)
+    save_model_triplet(str(tmp_path), "alt",
+                       init_train_state(jax.random.PRNGKey(2), cfg), cfg)
+
+    # Register under a named slot via /reload.
+    status, data = _post(base + "/reload", {
+        "model": "alt", "model_dir": str(tmp_path), "model_name": "alt"})
+    assert status == 200 and data["model"] == "alt"
+    with urllib.request.urlopen(base + "/healthz") as resp:
+        assert json.loads(resp.read())["models"] == ["default", "alt"]
+
+    out = str(tmp_path / "alt.csv")
+    status, data = _post(base + "/segment", {
+        "input_path": synthetic_video, "output_path": out,
+        "model": "alt", "batch_size": 64, "frame_limit": 64})
+    assert status == 200 and data["stats"]["frames"] > 0
+
+    status, data = _post(base + "/segment", {
+        "input_path": synthetic_video, "model": "nope"})
+    assert status == 400 and "unknown model" in data["error"]
+
+    # The default model is untouched.
+    assert state.net.num_params() == 67971
+
+
 def test_auth_token_gate(server):
     """With auth_token set, everything but /healthz returns 401 without
     the bearer header and works with it."""
