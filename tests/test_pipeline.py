@@ -276,6 +276,16 @@ def test_pipeline_sharded_over_mesh(synthetic_video, tmp_path):
     segment_video_file(synthetic_video, b, batch_size=64, print_every=0)
     assert open(a, "rb").read() == open(b, "rb").read()
 
+    # The precision ladder composes with sharding: the fastest rung
+    # (uint8_pool) over the mesh equals its own single-device output.
+    au = str(tmp_path / "mesh_u8.csv")
+    bu = str(tmp_path / "single_u8.csv")
+    segment_video_file(synthetic_video, au, batch_size=64, mesh=mesh,
+                       precision="uint8_pool", print_every=0)
+    segment_video_file(synthetic_video, bu, batch_size=64,
+                       precision="uint8_pool", print_every=0)
+    assert open(au, "rb").read() == open(bu, "rb").read()
+
 
 def test_pipeline_mesh_batch_divisibility(synthetic_video):
     import jax
