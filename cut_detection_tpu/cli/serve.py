@@ -198,7 +198,18 @@ def _make_handler(state: _State):
             got = self.headers.get("Authorization", "")
             import hmac
 
-            if hmac.compare_digest(got, "Bearer " + state.auth_token):
+            # Compare bytes: compare_digest on str raises TypeError for
+            # non-ASCII (header bytes are latin-1-decoded), which would
+            # kill the handler thread instead of returning 401.  Wire
+            # bytes for a non-ASCII token depend on the client stack
+            # (curl sends utf-8, http.client sends latin-1), so accept
+            # either encoding; both comparisons always run.
+            raw = got.encode("latin-1", "replace")
+            bearer = "Bearer " + state.auth_token
+            ok_utf8 = hmac.compare_digest(raw, bearer.encode("utf-8"))
+            ok_lat1 = hmac.compare_digest(
+                raw, bearer.encode("latin-1", "replace"))
+            if ok_utf8 or ok_lat1:
                 return True
             self._reply(401, {"error": "missing or bad bearer token"})
             return False
@@ -327,13 +338,24 @@ def _make_handler(state: _State):
                 load_triplet_or_default,
             )
 
+            precision = req.get("precision", state.precision)
+            if precision not in ("float32", "bfloat16", "bfloat16_full",
+                                 "uint8_pool"):
+                self._reply(400, {"error": f"unknown precision "
+                                           f"{precision!r}"})
+                return
             try:
                 # Load + validate OUTSIDE the lock (requests keep being
-                # served on the old model), then swap atomically.
+                # served on the old model), then swap atomically.  The
+                # dummy forward catches params-JSON/npz shape mismatches
+                # a bare load would miss.
                 net, _ = load_triplet_or_default(
                     req.get("model_dir"),
                     req.get("model_name", "init_model"),
-                    precision=req.get("precision", state.precision))
+                    precision=precision)
+                import numpy as _np
+
+                net(_np.zeros((1, 36, 64, 3), _np.float32))
             except Exception as e:
                 self._reply(400, {"error": f"reload failed: "
                                            f"{type(e).__name__}: {e}"})
@@ -473,6 +495,12 @@ def _parse_model_flags(entries) -> dict:
         if "=" not in e:
             raise ValueError(f"--model expects NAME=DIR[:MODEL_NAME]: {e}")
         name, rest = e.split("=", 1)
+        if name == "default":
+            raise ValueError(
+                "--model name 'default' is reserved (use --model-dir/"
+                "--model-name for the default slot)")
+        if name in out:
+            raise ValueError(f"--model name {name!r} given twice")
         if ":" in rest:
             mdir, mname = rest.rsplit(":", 1)
         else:

@@ -29,8 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "bfloat16"],
                    default="float32",
-                   help="bfloat16 = mixed precision (bf16 MXU operands, "
-                        "f32 params/optimizer; NT-Xent stays f32).")
+                   help="bfloat16 = mixed precision (bf16 activations "
+                        "on the MXU, f32 params/optimizer; NT-Xent and "
+                        "BN stats stay f32).")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--cpu", action="store_true",

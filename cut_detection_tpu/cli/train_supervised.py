@@ -41,9 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "bfloat16"],
                    default="float32",
-                   help="bfloat16 = mixed precision: bf16 MXU operands, "
-                        "f32 activations/params/optimizer (the standard "
-                        "TPU training mode).")
+                   help="bfloat16 = mixed precision: bf16 activations "
+                        "on the MXU with f32 islands for BN stats and "
+                        "the loss; params/grads/optimizer stay f32.")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--checkpoint-every-n", type=int, default=1,
                    help="Save a resumable full-state snapshot every N "

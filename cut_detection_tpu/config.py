@@ -138,10 +138,11 @@ class TrainConfig:
     #   recompute activations in the backward pass, trading FLOPs for HBM —
     #   irrelevant at this model's size, the standard lever if it grows
     compute_dtype: str | None = None  # None = full f32; "bfloat16" =
-    #   mixed precision (bf16 MXU operands, f32 activations/params/
-    #   optimizer — the standard TPU training mode).  "bfloat16_full"
-    #   is inference-only: bf16 activations would feed batch-norm
-    #   statistics and gradients, degrading training numerics.
+    #   mixed precision: bf16 activations through conv/FC (JAX's
+    #   conv/dot VJPs need a uniform dtype region), with f32 islands
+    #   for BN statistics and the loss, and f32 params/grads/optimizer
+    #   state.  The inference-only "bfloat16_full" label is rejected
+    #   for training to keep the mode names distinct.
 
 
 @dataclasses.dataclass

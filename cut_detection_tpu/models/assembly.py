@@ -14,10 +14,13 @@ Checkpoint sources supported:
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 from cut_detection_tpu.config import ConvNetConfig, LinearNetConfig, ModelParams
 from cut_detection_tpu.checkpoint.io import load_bundle, save_bundle
@@ -46,6 +49,8 @@ class GluedNet:
         self.bundle = jax.tree_util.tree_map(jnp.asarray, bundle)
         self.model_params = model_params
         self.precision = precision
+        if precision == "uint8_pool":
+            self._warn_if_stats_unconverged(bundle)
         self.conv_cfg = model_params.conv_config()
         self.linear_cfg = model_params.linear_config()
         self._jitted = functools.partial(
@@ -56,6 +61,32 @@ class GluedNet:
             linear_cfg=self.linear_cfg,
             compute_dtype=self.compute_dtype,
         )
+
+    @staticmethod
+    def _warn_if_stats_unconverged(bundle) -> None:
+        """uint8_pool derives its quantization scales from the BN
+        running statistics; a checkpoint whose stats still sit at their
+        init values (mean 0, var 1) would clip real activations hard.
+        Detectable at load time, so warn loudly rather than serve
+        silently-wrong logits (docs/PERFORMANCE.md)."""
+        import numpy as np
+
+        for s in bundle["conv"]["state"]:
+            if not s:
+                continue
+            mean = np.asarray(s.get("mean"))
+            var = np.asarray(s.get("var"))
+            if (np.abs(mean).max() < 1e-6
+                    and np.abs(var - 1.0).max() < 1e-6):
+                logger.warning(
+                    "uint8_pool: a conv layer's BN running statistics "
+                    "look uninitialized (mean=0, var=1).  The uint8 "
+                    "quantization scale is derived from these stats, so "
+                    "an untrained/unconverged checkpoint will clip "
+                    "activations and degrade accuracy — use float32/"
+                    "bfloat16_full for such models, or train until the "
+                    "running stats converge.")
+                return
 
     @property
     def compute_dtype(self):

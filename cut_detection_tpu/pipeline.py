@@ -208,7 +208,7 @@ def classify_video(
     from cut_detection_tpu.data.loader import PrefetchLoader
 
     batches = PrefetchLoader(batch_frames(source, batch_size),
-                             depth=max(0, prefetch_batches)) \
+                             depth=prefetch_batches) \
         if prefetch_batches > 0 else batch_frames(source, batch_size)
     for i, (batch, valid) in enumerate(batches):
         conf, pred = step(net.bundle, batch)  # async dispatch

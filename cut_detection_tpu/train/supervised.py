@@ -39,11 +39,12 @@ logger = logging.getLogger(__name__)
 def _train_compute_dtype(cfg) -> str | None:
     """Validate the training precision mode.
 
-    Mixed precision for training means bf16 MXU operands with f32
-    activations, parameters, gradients, and optimizer state
-    (``compute_dtype="bfloat16"``).  The inference-only
-    ``bfloat16_full`` mode is rejected: bf16 activations would feed the
-    batch-norm batch statistics and the backward pass.
+    Mixed precision for training (``compute_dtype="bfloat16"``) means
+    bf16 activations through the conv/FC stack with f32 islands for the
+    batch-norm statistics (ops/nn.batch_norm_train upcasts internally)
+    and the loss, while parameters, gradients, and optimizer state stay
+    f32.  The inference-only ``bfloat16_full`` label is rejected so the
+    mode vocabularies stay distinct.
     """
     cd = getattr(cfg, "compute_dtype", None)
     if cd not in (None, "bfloat16"):

@@ -407,6 +407,86 @@ def test_auth_token_gate(server):
         state.auth_token = None
 
 
+def test_reload_rejects_bad_precision_and_mismatched_triplet(
+        server, tmp_path):
+    """/reload validates the precision string and actually runs a
+    forward pass, so an internally-inconsistent triplet (conv and
+    linear files from different runs) is caught before the swap."""
+    import os
+    import shutil
+
+    import jax
+
+    from cut_detection_tpu.config import TrainConfig
+    from cut_detection_tpu.train.checkpointing import save_model_triplet
+    from cut_detection_tpu.train.supervised import init_train_state
+
+    base, state = server
+    before = state.net.num_params()
+
+    try:
+        status, data = _post(base + "/reload", {"precision": "fp32"})
+        assert status == 400 and "precision" in data["error"]
+
+        # Mix a conv net from one config with a linear head from
+        # another: loads fine file-by-file, fails on the first forward
+        # (flattened feature size != FC input).
+        small = TrainConfig(conv_layers=2, conv_hidden_channels=8,
+                            avg_pool_size=2, linear_layers=2,
+                            linear_size=8, output_size=3, batch_size=8,
+                            epochs=1)
+        big = TrainConfig(conv_layers=2, conv_hidden_channels=16,
+                          avg_pool_size=2, linear_layers=2,
+                          linear_size=8, output_size=3, batch_size=8,
+                          epochs=1)
+        save_model_triplet(str(tmp_path), "broken",
+                           init_train_state(jax.random.PRNGKey(0), small),
+                           small)
+        save_model_triplet(str(tmp_path), "donor",
+                           init_train_state(jax.random.PRNGKey(1), big),
+                           big)
+        shutil.copy(os.path.join(tmp_path, "donor_classifier_linear.npz"),
+                    os.path.join(tmp_path, "broken_classifier_linear.npz"))
+
+        status, data = _post(base + "/reload", {
+            "model_dir": str(tmp_path), "model_name": "broken"})
+        assert status == 400
+        assert state.net.num_params() == before  # old model still serving
+    finally:
+        _post(base + "/reload", {})  # restore the prod default regardless
+
+
+def test_auth_token_non_ascii(server):
+    """Non-ASCII tokens and header bytes get a clean 401, not a dead
+    handler thread."""
+    base, state = server
+    state.auth_token = "sécret"
+    try:
+        req = urllib.request.Request(base + "/metrics")
+        req.add_header("Authorization", "Bearer wrong")
+        try:
+            urllib.request.urlopen(req)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 401
+        req = urllib.request.Request(base + "/metrics")
+        req.add_header("Authorization", "Bearer sécret")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+    finally:
+        state.auth_token = None
+
+
+def test_model_flag_reserved_and_duplicate():
+    from cut_detection_tpu.cli.serve import _parse_model_flags
+
+    with pytest.raises(ValueError, match="reserved"):
+        _parse_model_flags(["default=/d"])
+    with pytest.raises(ValueError, match="twice"):
+        _parse_model_flags(["a=/d", "a=/e"])
+
+
 def test_client_ca_requires_certfile():
     from cut_detection_tpu.cli.serve import make_server
 
