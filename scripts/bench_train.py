@@ -58,6 +58,35 @@ def main() -> None:
         out[label + "_frames_per_sec"] = round(batch / sec, 1)
         out[label + "_final_loss"] = round(float(m["loss"]), 3)
     out["speedup"] = round(out["f32_step_ms"] / out["bf16_step_ms"], 2)
+
+    # SimCLR step (reference config: batch 32, 32ch conv, on-device
+    # augmented 144x256 views from 360p originals).
+    from cut_detection_tpu.config import ContrastiveConfig
+    from cut_detection_tpu.train.contrastive import (
+        init_contrastive_state,
+        make_contrastive_step,
+    )
+
+    xc = jax.device_put(
+        rng.integers(0, 255, size=(32, 360, 640, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(0)
+    for label, cd in [("simclr_f32", None), ("simclr_bf16", "bfloat16")]:
+        ccfg = ContrastiveConfig(batch_size=32, compute_dtype=cd)
+        cstep, _ = make_contrastive_step(ccfg)
+        cstep = jax.jit(cstep, donate_argnums=(0,))
+        cstate = init_contrastive_state(jax.random.PRNGKey(0), ccfg)
+        cstate, m = cstep(cstate, key, xc)
+        float(m["loss"])
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                cstate, m = cstep(cstate, key, xc)
+            float(m["loss"])
+            reps.append((time.perf_counter() - t0) / steps)
+        out[label + "_step_ms"] = round(1e3 * sorted(reps)[1], 2)
+    out["simclr_speedup"] = round(
+        out["simclr_f32_step_ms"] / out["simclr_bf16_step_ms"], 2)
     print(json.dumps(out))
 
 
