@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 = mixed precision (bf16 activations "
                         "on the MXU, f32 params/optimizer; NT-Xent and "
                         "BN stats stay f32).")
+    p.add_argument("--fast-augment", action="store_true",
+                   help="Composed affine+crop gather (~6x fewer sampled "
+                        "points; spatially exact, color-jitter divergences "
+                        "documented in train/augment.py).")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--cpu", action="store_true",
@@ -76,6 +80,7 @@ def main(args=None) -> None:
         model_name=ns.model_name,
         seed=ns.seed,
         compute_dtype=None if ns.precision == "float32" else ns.precision,
+        fast_augment=ns.fast_augment,
     )
     ds = ContrastiveFrameDataset(ns.data_dir, ext=".jpg")
     logging.info("Dataset size: %d frames", len(ds))

@@ -317,3 +317,157 @@ def simclr_two_views(key, x_u8, size: tuple[int, int] = (144, 256)):
     v1 = simclr_augment(ka, x_u8, size)
     v2 = simclr_augment(kb, x_u8, size)
     return jnp.concatenate([v1, v2], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Fast-augmentation mode (opt-in, ContrastiveConfig.fast_augment)
+#
+# The exact pipeline is gather-latency-bound (docs/ROADMAP.md #6): the
+# affine stage nearest-samples the FULL 360p image (3 channels) only for
+# most of it to be discarded by the crop.  The fast mode composes the
+# affine and the crop into ONE gather at crop resolution:
+#
+#   exact:  O[q] = sum_t w_t * F[p_t],  F[p] = x[nearest(A(p))]
+#   fast:   O[q] = sum_t w_t * x[nearest(A(p_t))]        (identical!)
+#
+# — the spatial composition is EXACT (bilinear taps of a nearest-sampled
+# image equal direct taps at the composed positions, including the
+# crop-box clamp and zero fill), verified by a bitwise test with color
+# jitter disabled.  Two DOCUMENTED DIVERGENCES, both from moving the
+# pointwise color jitter after the resample:
+#   1. clip ordering — the exact path clips each jitter op at full res
+#      and then blends 4 taps; the fast path blends first and clips
+#      after, which differs only where a tap straddles the [0,1] clip;
+#   2. contrast's mean — torchvision computes it over the image state
+#      at whatever point contrast lands in the random op order; the
+#      fast path always uses the mean of the UN-jittered affine image;
+#   3. that mean is estimated on a stride-2 subgrid of the affine image
+#      (gather cost is per-index; the estimator error is O(0.1%)).
+# Distribution tests bound all three (tests/test_augment.py).
+# ---------------------------------------------------------------------------
+
+
+def _affine_source(py, px, h: int, w: int, angle, translate_xy, scale):
+    """Source coordinates A(p) for arbitrary (possibly fractional) output
+    points — the same inverse map as ``_sample_affine_grid``."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    inv = 1.0 / scale
+    tx, ty = translate_xy
+    x_rel = (px - cx) - tx
+    y_rel = (py - cy) - ty
+    xs = (cos * x_rel + sin * y_rel) * inv + cx
+    ys = (-sin * x_rel + cos * y_rel) * inv + cy
+    return ys, xs
+
+
+def _composed_view(img, angle, txy, sc, i, j, ch, cw,
+                   size: tuple[int, int]):
+    """One image's affine+resized-crop, composed into a single 4-tap
+    gather at crop resolution (spatially exact — see module comment)."""
+    h, w = img.shape[0], img.shape[1]
+    out_h, out_w = size
+    ys_unit = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    xs_unit = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    ry = jnp.clip(i + ys_unit * ch - 0.5, i, i + ch - 1)
+    rx = jnp.clip(j + xs_unit * cw - 0.5, j, j + cw - 1)
+    ry = jnp.broadcast_to(ry[:, None], (out_h, out_w))
+    rx = jnp.broadcast_to(rx[None, :], (out_h, out_w))
+
+    # Bilinear tap positions in affine-image space (matching
+    # _gather_bilinear's edge clipping), then mapped through A and
+    # nearest-sampled with zero fill (matching _gather_nearest).
+    y0 = jnp.clip(jnp.floor(ry).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(rx).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    fy = jnp.clip(ry - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    fx = jnp.clip(rx - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    def tap(py, px):
+        sy, sx = _affine_source(py.astype(jnp.float32),
+                                px.astype(jnp.float32), h, w, angle, txy, sc)
+        return _gather_nearest(img, sy, sx)
+
+    p00, p01 = tap(y0, x0), tap(y0, x1)
+    p10, p11 = tap(y1, x0), tap(y1, x1)
+    top = p00 * (1 - fx) + p01 * fx
+    bot = p10 * (1 - fx) + p11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _jitter_with_fixed_mean(key, x, mean, *, brightness: float = 0.4,
+                            contrast: float = 0.4, saturation: float = 0.4):
+    """color_jitter, but contrast blends against a precomputed per-image
+    mean (the fast mode's divergence #2)."""
+    b = x.shape[0]
+    kb, kc, ks, ko = jax.random.split(key, 4)
+    fb = jax.random.uniform(kb, (b,), minval=max(0.0, 1 - brightness),
+                            maxval=1 + brightness)
+    fc = jax.random.uniform(kc, (b,), minval=max(0.0, 1 - contrast),
+                            maxval=1 + contrast)
+    fs = jax.random.uniform(ks, (b,), minval=max(0.0, 1 - saturation),
+                            maxval=1 + saturation)
+    order = jax.random.randint(ko, (b,), 0, 6)
+
+    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+
+    def one(img, f_b, f_c, f_s, m, o):
+        ops = [
+            lambda im: adjust_brightness(im, f_b),
+            lambda im: jnp.clip(im * f_c + (1 - f_c) * m, 0.0, 1.0),
+            lambda im: adjust_saturation(im, f_s),
+        ]
+
+        def perm_branch(p):
+            def run(img):
+                for idx in p:
+                    img = ops[idx](img)
+                return img
+            return run
+
+        return jax.lax.switch(o, [perm_branch(p) for p in perms], img)
+
+    return jax.vmap(one)(x, fb, fc, fs, mean, order)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def fast_simclr_augment(key, x_u8, size: tuple[int, int] = (144, 256)):
+    """One view via the composed gather (~6x fewer sampled points).
+
+    Same key-split structure and parameter distributions as
+    ``simclr_augment``; divergences documented in the module comment.
+    """
+    x = x_u8.astype(jnp.float32) / 255.0
+    b, h, w = x.shape[0], x.shape[1], x.shape[2]
+    k1, k2, k3 = jax.random.split(key, 3)
+    angles, tx, ty, scales = affine_params(k1, b, w, h)
+    i, j, ch, cw = resized_crop_params(k3, b, h, w)
+
+    # Contrast mean of the un-jittered affine image, estimated on a
+    # stride-2 subgrid (divergence #3: gather cost is per-index, so the
+    # full-res mean gather would dominate; the subsampled estimator's
+    # error on natural images is O(0.1%) of the mean, far below the
+    # contrast factor's own U(0.6, 1.4) spread).
+    gray = _grayscale(x)[..., None]
+
+    def gray_mean(img1, angle, txi, tyi, sc):
+        ys, xs = _sample_affine_grid(h, w, angle, (txi, tyi), sc)
+        return jnp.mean(_gather_nearest(img1, ys[::2, ::2], xs[::2, ::2]))
+
+    means = jax.vmap(gray_mean)(gray, angles, tx, ty, scales)
+
+    def one(img, angle, txi, tyi, sc, ii, jj, chi, cwi):
+        return _composed_view(img, angle, (txi, tyi), sc, ii, jj, chi, cwi,
+                              size)
+
+    views = jax.vmap(one)(x, angles, tx, ty, scales, i, j, ch, cw)
+    return _jitter_with_fixed_mean(k2, views, means)
+
+
+def fast_simclr_two_views(key, x_u8, size: tuple[int, int] = (144, 256)):
+    """Two views via the composed fast path (ContrastiveConfig.fast_augment)."""
+    ka, kb = jax.random.split(key)
+    v1 = fast_simclr_augment(ka, x_u8, size)
+    v2 = fast_simclr_augment(kb, x_u8, size)
+    return jnp.concatenate([v1, v2], axis=0)

@@ -30,7 +30,10 @@ from cut_detection_tpu.models.frame_conv import (
     init_frame_conv,
     init_frame_linear,
 )
-from cut_detection_tpu.train.augment import simclr_two_views
+from cut_detection_tpu.train.augment import (
+    fast_simclr_two_views,
+    simclr_two_views,
+)
 from cut_detection_tpu.train.losses import ntxent_loss
 
 logger = logging.getLogger(__name__)
@@ -92,8 +95,12 @@ def make_contrastive_step(cfg: ContrastiveConfig, optimizer=None,
         acc = jnp.mean(jnp.argmax(logits_ab, axis=1) == labels)
         return loss, ({"conv": conv_s, "linear": lin_s}, acc)
 
+    two_views = (fast_simclr_two_views
+                 if getattr(cfg, "fast_augment", False)
+                 else simclr_two_views)
+
     def step(state, key, x_u8):
-        views = simclr_two_views(key, x_u8, view_size)
+        views = two_views(key, x_u8, view_size)
         (loss, (bn_state, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state["params"], state["bn_state"], views)

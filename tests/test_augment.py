@@ -287,3 +287,76 @@ def test_simclr_augment_jit_under_vary_key():
     a = simclr_augment(jax.random.PRNGKey(0), x_u8, (36, 64))
     b = simclr_augment(jax.random.PRNGKey(1), x_u8, (36, 64))
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fast_augment_spatial_composition_exact():
+    """The composed affine+crop gather is SPATIALLY bitwise-equal to
+    crop(affine(x)): bilinear taps of a nearest-sampled image equal
+    direct taps at the composed positions (incl. zero fill and the
+    crop-box clamp)."""
+    from cut_detection_tpu.train.augment import (
+        _composed_view,
+        affine_params,
+        affine_transform,
+        resized_crop,
+        resized_crop_params,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((3, 90, 160, 3), dtype=np.float32))
+    k1, k3 = jax.random.split(jax.random.PRNGKey(5))
+    angles, tx, ty, scales = affine_params(k1, 3, 160, 90)
+    i, j, ch, cw = resized_crop_params(k3, 3, 90, 160)
+    for n in range(3):
+        exact = resized_crop(
+            affine_transform(x[n], angles[n], (tx[n], ty[n]), scales[n]),
+            i[n], j[n], ch[n], cw[n], (36, 64))
+        fast = _composed_view(x[n], angles[n], (tx[n], ty[n]), scales[n],
+                              i[n], j[n], ch[n], cw[n], (36, 64))
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   atol=1e-6)
+
+
+def test_fast_augment_tracks_exact_distribution():
+    """Full fast views vs exact views with the SAME key (identical
+    parameter draws): only the documented color-jitter divergences
+    remain — small everywhere, tiny on average."""
+    from cut_detection_tpu.train.augment import fast_simclr_two_views
+
+    rng = np.random.default_rng(12)
+    x_u8 = jnp.asarray(rng.integers(0, 256, size=(4, 90, 160, 3),
+                                    dtype=np.uint8))
+    key = jax.random.PRNGKey(9)
+    exact = np.asarray(simclr_two_views(key, x_u8, size=(36, 64)))
+    fast = np.asarray(fast_simclr_two_views(key, x_u8, size=(36, 64)))
+    assert fast.shape == exact.shape
+    d = np.abs(fast - exact)
+    assert d.mean() < 0.02
+    assert np.quantile(d, 0.99) < 0.15
+    assert d.max() < 0.5
+
+
+def test_fast_augment_trains():
+    """The contrastive step with fast_augment converges like the exact
+    one on a stationary objective."""
+    from cut_detection_tpu.config import ContrastiveConfig
+    from cut_detection_tpu.train.contrastive import (
+        init_contrastive_state,
+        make_contrastive_step,
+    )
+
+    cfg = ContrastiveConfig(conv_layers=2, conv_hidden_channels=8,
+                            linear_layers=2, linear_size=8, output_size=8,
+                            batch_size=8, epochs=1, fast_augment=True)
+    step, _ = make_contrastive_step(cfg, view_size=(36, 64))
+    step = jax.jit(step)
+    state = init_contrastive_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 255, size=(8, 72, 128, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for _ in range(10):
+        state, m = step(state, key, x)
+        if first is None:
+            first = float(m["loss"])
+    assert np.isfinite(float(m["loss"])) and float(m["loss"]) < first
