@@ -70,8 +70,12 @@ def main() -> None:
     xc = jax.device_put(
         rng.integers(0, 255, size=(32, 360, 640, 3), dtype=np.uint8))
     key = jax.random.PRNGKey(0)
-    for label, cd in [("simclr_f32", None), ("simclr_bf16", "bfloat16")]:
-        ccfg = ContrastiveConfig(batch_size=32, compute_dtype=cd)
+    for label, cd, fa in [("simclr_f32", None, False),
+                          ("simclr_bf16", "bfloat16", False),
+                          ("simclr_fast", None, True),
+                          ("simclr_fast_bf16", "bfloat16", True)]:
+        ccfg = ContrastiveConfig(batch_size=32, compute_dtype=cd,
+                                 fast_augment=fa)
         cstep, _ = make_contrastive_step(ccfg)
         cstep = jax.jit(cstep, donate_argnums=(0,))
         cstate = init_contrastive_state(jax.random.PRNGKey(0), ccfg)
