@@ -29,6 +29,20 @@ def test_pipeline_matches_golden_csv(tmp_path):
         assert f.read() == g.read()
 
 
+def test_uint8_pool_matches_golden_csv(tmp_path):
+    """The fastest precision rung reproduces the reference CSV on the
+    committed clip (CI-pinned counterpart of the on-hardware byte
+    comparisons in docs/PARITY.md)."""
+    from cut_detection_tpu.pipeline import segment_video_file
+
+    out = str(tmp_path / "u8.csv")
+    segment_video_file(CLIP, out, batch_size=64, print_every=0,
+                       precision="uint8_pool")
+    with open(out, "rb") as f, open(
+            os.path.join(GOLDEN, "ref_segments.csv"), "rb") as g:
+        assert f.read() == g.read()
+
+
 def test_logits_match_golden():
     import itertools
 
