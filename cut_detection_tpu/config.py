@@ -165,5 +165,6 @@ class ContrastiveConfig:
     model_name: str = "init_model"
     seed: int = 0
     compute_dtype: str | None = None  # None | "bfloat16" (see TrainConfig)
-    fast_augment: bool = False        # composed affine+crop gather (~6x
-    #   fewer sampled points; documented divergences in train/augment.py)
+    fast_augment: bool = False        # composed affine+crop gather
+    #   (~1.8x fewer gathered indices, 2.29x step speedup measured;
+    #   documented divergences in train/augment.py)

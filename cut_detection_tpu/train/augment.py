@@ -61,24 +61,31 @@ def _grayscale(x):
     return 0.2989 * r + 0.587 * g + 0.114 * b
 
 
+def _affine_source(py, px, h: int, w: int, angle, translate_xy, scale):
+    """Source coordinates A(p) for arbitrary output points (the single
+    source of truth for the inverse map: rotate(-angle)/scale about the
+    (size-1)/2 center after undoing the translation, like torchvision's
+    affine)."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    inv = 1.0 / scale
+    tx, ty = translate_xy
+    x_rel = (px - cx) - tx
+    y_rel = (py - cy) - ty
+    xs = (cos * x_rel + sin * y_rel) * inv + cx
+    ys = (-sin * x_rel + cos * y_rel) * inv + cy
+    return ys, xs
+
+
 def _sample_affine_grid(h: int, w: int, angle, translate_xy, scale):
     """Source-coordinate grid for a rotation/scale/translation about center.
 
     Returns (ys, xs) of shape [h, w]: for each output pixel, the input
-    coordinate to sample (inverse-mapped, like torchvision's affine).
+    coordinate to sample — ``_affine_source`` on the full output grid.
     """
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
-    # Inverse of rotate(angle) * scale: rotate(-angle) / scale.
-    inv = 1.0 / scale
-    tx, ty = translate_xy
-    x_rel = xx - tx
-    y_rel = yy - ty
-    xs = (cos * x_rel + sin * y_rel) * inv + cx
-    ys = (-sin * x_rel + cos * y_rel) * inv + cy
-    return ys, xs
+    yy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    xx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    return _affine_source(yy, xx, h, w, angle, translate_xy, scale)
 
 
 def _gather_nearest(img, ys, xs):
@@ -179,11 +186,15 @@ def adjust_saturation(img, f):
 
 
 def color_jitter(key, x, *, brightness: float = 0.4, contrast: float = 0.4,
-                 saturation: float = 0.4):
+                 saturation: float = 0.4, contrast_mean=None):
     """Batched ColorJitter (learn_contrasts.py:51 parameters).
 
     Factors sampled per image; the three ops are applied in a random
     per-image order via lax.switch over the 6 permutations.
+    ``contrast_mean`` (per-image [B]) replaces contrast's own
+    image-state mean — the fast-augment path's divergence #2; the
+    default None keeps exact torchvision behavior.  (The choice is a
+    Python-level static, so both paths compile to a single branch.)
     """
     b = x.shape[0]
     kb, kc, ks, ko = jax.random.split(key, 4)
@@ -196,9 +207,17 @@ def color_jitter(key, x, *, brightness: float = 0.4, contrast: float = 0.4,
     order = jax.random.randint(ko, (b,), 0, 6)
 
     perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
-    ops = [adjust_brightness, adjust_contrast, adjust_saturation]
+    use_fixed_mean = contrast_mean is not None
+    if not use_fixed_mean:
+        contrast_mean = jnp.zeros((b,), jnp.float32)  # unused placeholder
 
-    def one(img, f_b, f_c, f_s, o):
+    def one(img, f_b, f_c, f_s, m, o):
+        def contrast_op(im, f):
+            if use_fixed_mean:
+                return jnp.clip(im * f + (1 - f) * m, 0.0, 1.0)
+            return adjust_contrast(im, f)
+
+        ops = [adjust_brightness, contrast_op, adjust_saturation]
         fs_by_op = (f_b, f_c, f_s)
 
         def perm_branch(p):
@@ -210,7 +229,7 @@ def color_jitter(key, x, *, brightness: float = 0.4, contrast: float = 0.4,
 
         return jax.lax.switch(o, [perm_branch(p) for p in perms], img)
 
-    return jax.vmap(one)(x, fb, fc, fs, order)
+    return jax.vmap(one)(x, fb, fc, fs, contrast_mean, order)
 
 
 def resized_crop_params(key, batch: int, img_h: int, img_w: int, *,
@@ -347,20 +366,6 @@ def simclr_two_views(key, x_u8, size: tuple[int, int] = (144, 256)):
 # ---------------------------------------------------------------------------
 
 
-def _affine_source(py, px, h: int, w: int, angle, translate_xy, scale):
-    """Source coordinates A(p) for arbitrary (possibly fractional) output
-    points — the same inverse map as ``_sample_affine_grid``."""
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
-    inv = 1.0 / scale
-    tx, ty = translate_xy
-    x_rel = (px - cx) - tx
-    y_rel = (py - cy) - ty
-    xs = (cos * x_rel + sin * y_rel) * inv + cx
-    ys = (-sin * x_rel + cos * y_rel) * inv + cy
-    return ys, xs
-
-
 def _composed_view(img, angle, txy, sc, i, j, ch, cw,
                    size: tuple[int, int]):
     """One image's affine+resized-crop, composed into a single 4-tap
@@ -396,44 +401,9 @@ def _composed_view(img, angle, txy, sc, i, j, ch, cw,
     return top * (1 - fy) + bot * fy
 
 
-def _jitter_with_fixed_mean(key, x, mean, *, brightness: float = 0.4,
-                            contrast: float = 0.4, saturation: float = 0.4):
-    """color_jitter, but contrast blends against a precomputed per-image
-    mean (the fast mode's divergence #2)."""
-    b = x.shape[0]
-    kb, kc, ks, ko = jax.random.split(key, 4)
-    fb = jax.random.uniform(kb, (b,), minval=max(0.0, 1 - brightness),
-                            maxval=1 + brightness)
-    fc = jax.random.uniform(kc, (b,), minval=max(0.0, 1 - contrast),
-                            maxval=1 + contrast)
-    fs = jax.random.uniform(ks, (b,), minval=max(0.0, 1 - saturation),
-                            maxval=1 + saturation)
-    order = jax.random.randint(ko, (b,), 0, 6)
-
-    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
-
-    def one(img, f_b, f_c, f_s, m, o):
-        ops = [
-            lambda im: adjust_brightness(im, f_b),
-            lambda im: jnp.clip(im * f_c + (1 - f_c) * m, 0.0, 1.0),
-            lambda im: adjust_saturation(im, f_s),
-        ]
-
-        def perm_branch(p):
-            def run(img):
-                for idx in p:
-                    img = ops[idx](img)
-                return img
-            return run
-
-        return jax.lax.switch(o, [perm_branch(p) for p in perms], img)
-
-    return jax.vmap(one)(x, fb, fc, fs, mean, order)
-
-
 @functools.partial(jax.jit, static_argnames=("size",))
 def fast_simclr_augment(key, x_u8, size: tuple[int, int] = (144, 256)):
-    """One view via the composed gather (~6x fewer sampled points).
+    """One view via the composed gather (~1.8x fewer sampled indices).
 
     Same key-split structure and parameter distributions as
     ``simclr_augment``; divergences documented in the module comment.
@@ -462,11 +432,16 @@ def fast_simclr_augment(key, x_u8, size: tuple[int, int] = (144, 256)):
                               size)
 
     views = jax.vmap(one)(x, angles, tx, ty, scales, i, j, ch, cw)
-    return _jitter_with_fixed_mean(k2, views, means)
+    return color_jitter(k2, views, contrast_mean=means)
 
 
 def fast_simclr_two_views(key, x_u8, size: tuple[int, int] = (144, 256)):
-    """Two views via the composed fast path (ContrastiveConfig.fast_augment)."""
+    """Two views via the composed fast path (ContrastiveConfig.fast_augment).
+
+    Sampling cost: ~205k gathered indices per view (4x36,864 composed
+    taps + the 57,600-point mean subgrid) vs ~378k exact (230,400
+    full-res affine + 147,456 RRC taps) — ~1.8x fewer indices and ~3x
+    fewer fetched bytes; measured 2.29x on the full step."""
     ka, kb = jax.random.split(key)
     v1 = fast_simclr_augment(ka, x_u8, size)
     v2 = fast_simclr_augment(kb, x_u8, size)

@@ -95,8 +95,7 @@ def make_contrastive_step(cfg: ContrastiveConfig, optimizer=None,
         acc = jnp.mean(jnp.argmax(logits_ab, axis=1) == labels)
         return loss, ({"conv": conv_s, "linear": lin_s}, acc)
 
-    two_views = (fast_simclr_two_views
-                 if getattr(cfg, "fast_augment", False)
+    two_views = (fast_simclr_two_views if cfg.fast_augment
                  else simclr_two_views)
 
     def step(state, key, x_u8):

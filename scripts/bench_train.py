@@ -89,8 +89,12 @@ def main() -> None:
             float(m["loss"])
             reps.append((time.perf_counter() - t0) / steps)
         out[label + "_step_ms"] = round(1e3 * sorted(reps)[1], 2)
-    out["simclr_speedup"] = round(
+    out["simclr_bf16_speedup"] = round(
         out["simclr_f32_step_ms"] / out["simclr_bf16_step_ms"], 2)
+    out["simclr_fast_speedup"] = round(
+        out["simclr_f32_step_ms"] / out["simclr_fast_step_ms"], 2)
+    out["simclr_fast_bf16_speedup"] = round(
+        out["simclr_f32_step_ms"] / out["simclr_fast_bf16_step_ms"], 2)
     print(json.dumps(out))
 
 

@@ -43,10 +43,11 @@ def timed(fn, *args, steps):
     jax.block_until_ready(fn(*args))
     r = np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # fetch=sync
     del r
+    assert steps > 0, "steps must be positive"
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for i in range(steps):
+        for _ in range(steps):
             out = fn(*args)
         np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         reps.append((time.perf_counter() - t0) / steps)
@@ -74,7 +75,6 @@ def main():
         steps=steps), 2)
 
     cfg = ContrastiveConfig(batch_size=batch)
-    step, _ = make_contrastive_step(cfg)
     views = jax.block_until_ready(
         jax.jit(lambda k, v: simclr_two_views(k, v))(key, x))
 

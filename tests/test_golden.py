@@ -19,25 +19,19 @@ pytestmark = pytest.mark.skipif(not os.path.isfile(CLIP),
                                 reason="golden fixtures missing")
 
 
-def test_pipeline_matches_golden_csv(tmp_path):
+@pytest.mark.parametrize("precision", ["float32", "uint8_pool"])
+def test_pipeline_matches_golden_csv(tmp_path, precision):
+    """float32 is the byte-parity promise; the uint8_pool row is a
+    regression PIN of behavior verified on hardware (docs/PARITY.md) —
+    the mode itself promises accuracy-gating, not byte parity, so if an
+    XLA rounding change ever moves a borderline frame, re-verify on
+    hardware and update the pin rather than treating it as a product
+    bug."""
     from cut_detection_tpu.pipeline import segment_video_file
 
-    out = str(tmp_path / "out.csv")
-    segment_video_file(CLIP, out, batch_size=64, print_every=0)
-    with open(out, "rb") as f, open(
-            os.path.join(GOLDEN, "ref_segments.csv"), "rb") as g:
-        assert f.read() == g.read()
-
-
-def test_uint8_pool_matches_golden_csv(tmp_path):
-    """The fastest precision rung reproduces the reference CSV on the
-    committed clip (CI-pinned counterpart of the on-hardware byte
-    comparisons in docs/PARITY.md)."""
-    from cut_detection_tpu.pipeline import segment_video_file
-
-    out = str(tmp_path / "u8.csv")
+    out = str(tmp_path / f"out_{precision}.csv")
     segment_video_file(CLIP, out, batch_size=64, print_every=0,
-                       precision="uint8_pool")
+                       precision=precision)
     with open(out, "rb") as f, open(
             os.path.join(GOLDEN, "ref_segments.csv"), "rb") as g:
         assert f.read() == g.read()
