@@ -12,7 +12,19 @@ Prints ONE JSON line:
   batches.  The reference publishes no numbers (BASELINE.md), so the
   baseline is measured here, matching its eval path (segment_video.py:38-45).
 
-Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_SECONDS, BENCH_PRECISION.
+Fault tolerance (the round-2 driver capture recorded a transient
+``FAILED_PRECONDITION`` from the TPU relay as the round's official perf
+number): every hardware measurement runs under bounded retries with
+backoff (`_retry`), the headline falls back through the precision ladder
+uint8_pool -> bfloat16_full -> float32 if one rung keeps failing, and the
+JSON line is emitted (with a ``degraded`` field describing what happened)
+as long as ANY rung measured.  Only a total failure exits non-zero.
+
+Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_SECONDS, BENCH_PRECISION,
+BENCH_E2E (0 to skip), BENCH_E2E_FRAMES (per-repeat clip),
+BENCH_E2E_REPEATS, BENCH_E2E_SUSTAINED (long-clip run), BENCH_E2E_WORKERS,
+BENCH_TIME_BUDGET (seconds, soft cap on total wall), BENCH_RETRIES,
+BENCH_BACKOFF (comma-separated sleep seconds).
 """
 
 from __future__ import annotations
@@ -23,6 +35,58 @@ import sys
 import time
 
 import numpy as np
+
+_START = time.monotonic()
+
+
+def _budget() -> float:
+    """Soft total wall-clock budget (seconds) for the whole bench run."""
+    return float(os.environ.get("BENCH_TIME_BUDGET", 1500))
+
+
+def _remaining() -> float:
+    return _budget() - (time.monotonic() - _START)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _retry(fn, what: str, attempts: int | None = None,
+           record: list | None = None):
+    """Run ``fn()`` with bounded retries + backoff on any exception.
+
+    The axon relay surfaces transient faults as ``FAILED_PRECONDITION`` /
+    ``UNAVAILABLE`` JaxRuntimeErrors (BENCH_r02.json recorded one at the
+    first warmup fetch); a wedged tunnel clears in minutes, so the
+    backoff schedule sleeps long enough to ride one out while staying
+    inside the run budget.  Failures are appended to ``record`` (for the
+    JSON ``degraded`` field).  Raises the last error when attempts or
+    the time budget are exhausted.
+    """
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_RETRIES", 4))
+    backoff = [float(s) for s in os.environ.get(
+        "BENCH_BACKOFF", "20,60,150").split(",")]
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — relay faults take many types
+            last = e
+            msg = f"{type(e).__name__}: {e}"
+            _log(f"{what}: attempt {i + 1}/{attempts} failed: {msg[:300]}")
+            if record is not None:
+                record.append({"stage": what, "attempt": i + 1,
+                               "error": msg[:300]})
+            if i + 1 >= attempts:
+                break
+            delay = backoff[min(i, len(backoff) - 1)]
+            if _remaining() < delay + 30:
+                _log(f"{what}: budget exhausted, abandoning retries")
+                break
+            time.sleep(delay)
+    raise last
 
 
 def bench_ours(batch: int, steps: int, min_seconds: float,
@@ -125,7 +189,13 @@ def bench_reference(batch: int, seconds: float) -> float | None:
 
 def _make_bench_clip(path: str, frames: int, w: int = 640,
                      h: int = 360) -> str:
-    """Synthesize (once) a deterministic mp4 clip for the e2e measurement."""
+    """Synthesize (once) a deterministic mp4 clip for the e2e measurement.
+
+    Noise overlays are drawn from a small pre-generated pool per scene so
+    synthesis runs at encoder speed (~190 fps) instead of rng speed
+    (~70 fps) — the clip is cached in tempdir, but a cold driver run must
+    not spend its budget on synthesis.
+    """
     if os.path.isfile(path):
         return path
     import cv2
@@ -138,48 +208,32 @@ def _make_bench_clip(path: str, frames: int, w: int = 640,
     while left > 0:
         n = min(left, int(rng.integers(60, 400)))
         base = np.full((h, w, 3), colors[i % len(colors)], np.uint8)
-        for _ in range(n):
-            wr.write(cv2.add(base,
-                             rng.integers(0, 30, (h, w, 3), dtype=np.uint8)))
+        pool = [cv2.add(base,
+                        rng.integers(0, 30, (h, w, 3), dtype=np.uint8))
+                for _ in range(min(n, 16))]
+        for j in range(n):
+            wr.write(pool[j % len(pool)])
         left -= n
         i += 1
     wr.release()
     return path
 
 
-def bench_e2e(precision: str, frames: int, decode_workers: int) -> dict:
-    """End-to-end decode -> transfer -> classify -> smooth -> CSV.
+def _e2e_once(clip: str, out_csv: str, precision: str,
+              decode_workers: int, scores: tuple | None,
+              cache_path: str | None) -> dict:
+    """One repeat of the per-stage e2e measurement on ``clip``.
 
-    Returns the full-pipeline fps plus a per-stage breakdown, so the e2e
-    number is an artifact, not prose (VERDICT r1 item 3):
-
-    - ``decode_fps``: host decode+resize only (the usual bottleneck on a
-      real TPU VM).
-    - ``transfer_fps``: host->device upload of the decoded uint8 batches
-      (through the axon relay this is the dominant stage; on PCIe it is
-      ~3 orders faster).
-    - ``classify_fps``: chip-resident loop (the headline measurement).
-    - ``smooth_ms`` / ``csv_ms``: host post-process on the real outputs.
-    - ``e2e_fps``: wall clock of ``segment_video_file`` over the clip.
-    - ``overlap``: e2e time vs the serial stage sum and the max-stage
-      bound — 1.0 means async dispatch fully hides the faster stages
-      behind the slowest one.
+    ``scores`` (conf, pred) feeds the smooth/CSV timing; when None (first
+    repeat), the pipeline call writes them to ``cache_path`` instead of
+    paying an extra full classify pass.
     """
-    import tempfile
-
     import jax
     import jax.numpy as jnp
 
     from cut_detection_tpu.data.video import ParallelVideoReader, batch_frames
-    from cut_detection_tpu.pipeline import (
-        classify_video,
-        segment_video_file,
-    )
+    from cut_detection_tpu.pipeline import segment_video_file
     from cut_detection_tpu.segmentation.rle import Segmentation
-
-    clip = _make_bench_clip(
-        os.path.join(tempfile.gettempdir(), f"cutdet_bench_{frames}.mp4"),
-        frames)
 
     # Stage: decode only (collect the batches for the transfer stage).
     src = ParallelVideoReader(clip, resize=256, num_threads=decode_workers)
@@ -199,25 +253,22 @@ def bench_e2e(precision: str, frames: int, decode_workers: int) -> dict:
         total = total + jnp.sum(d[0, 0, :].astype(jnp.int32))
     int(total)
     transfer_s = time.perf_counter() - t0
-    del devs
+    del devs, batches
 
-    # Full pipeline (includes one warm classify pass first so jit compile
-    # is not billed to the e2e number; the compilation cache makes the
-    # warm pass cheap on reruns).
-    out_csv = os.path.join(tempfile.gettempdir(), "cutdet_bench_out.csv")
-    conf, pred, _ = classify_video(clip, frame_limit=256, print_every=0,
-                                   precision=precision,
-                                   decode_workers=decode_workers)
+    # Full pipeline wall clock (jit already warm from the caller).  The
+    # first repeat also persists the per-frame scores (npz write of two
+    # [N] vectors — negligible) for the smooth-stage timing below.
     t0 = time.perf_counter()
-    _, seg, stats = segment_video_file(clip, out_csv, print_every=0,
-                                       precision=precision,
-                                       decode_workers=decode_workers)
+    segment_video_file(clip, out_csv, print_every=0, precision=precision,
+                       decode_workers=decode_workers,
+                       cache_path=None if scores else cache_path)
     e2e_s = time.perf_counter() - t0
+    if scores is None:
+        with np.load(cache_path) as data:
+            scores = (data["conf"], data["pred"])
 
     # Stage: smooth + csv on the full-length outputs.
-    conf_f, pred_f, _ = classify_video(clip, print_every=0,
-                                       precision=precision,
-                                       decode_workers=decode_workers)
+    conf_f, pred_f = scores
     t0 = time.perf_counter()
     seg2 = Segmentation.from_frame_scores(conf_f, pred_f)
     seg2.glue_orphans(100, 10)
@@ -227,27 +278,172 @@ def bench_e2e(precision: str, frames: int, decode_workers: int) -> dict:
     seg2.write_csv(out_csv)
     csv_s = time.perf_counter() - t0
 
-    classify_fps = bench_ours(128, 64, 3.0, precision=precision)
-    classify_s = n_dec / classify_fps if classify_fps else float("inf")
-    serial_s = decode_s + transfer_s + classify_s + smooth_s + csv_s
-    bound_s = max(decode_s, transfer_s, classify_s, smooth_s + csv_s)
     return {
-        "frames": n_dec,
+        "frames": int(n_dec),
+        "decode_s": round(decode_s, 3),
+        "transfer_s": round(transfer_s, 3),
+        "e2e_s": round(e2e_s, 3),
+        "smooth_ms": round(smooth_s * 1e3, 2),
+        "csv_ms": round(csv_s * 1e3, 2),
         "e2e_fps": round(n_dec / e2e_s, 1),
         "decode_fps": round(n_dec / decode_s, 1),
         "transfer_fps": round(n_dec / transfer_s, 1),
-        "classify_fps": round(classify_fps, 1),
-        "smooth_ms": round(smooth_s * 1e3, 2),
-        "csv_ms": round(csv_s * 1e3, 2),
+    }, scores
+
+
+def bench_e2e(precision: str, frames: int, decode_workers: int,
+              repeats: int, classify_fps: float | None,
+              degraded: list, sustained_frames: int) -> dict:
+    """End-to-end decode -> transfer -> classify -> smooth -> CSV.
+
+    Runs the per-stage measurement ``repeats`` times (VERDICT r2 item 4:
+    the overlap claim must not rest on one sample), then one sustained
+    long-clip pipeline run (``sustained_frames``, >=30k by default) for
+    the north-star e2e number.  Reports each repeat, the median-based
+    summary, the sustained run, and a documented v5e-8 projection.
+    Respects the global time budget: stops early (``truncated: true``)
+    rather than risking the driver's capture.
+    """
+    import tempfile
+
+    from cut_detection_tpu.pipeline import classify_video, segment_video_file
+
+    clip = _make_bench_clip(
+        os.path.join(tempfile.gettempdir(), f"cutdet_bench_{frames}.mp4"),
+        frames)
+    out_csv = os.path.join(tempfile.gettempdir(), "cutdet_bench_out.csv")
+    cache_path = os.path.join(tempfile.gettempdir(),
+                              f"cutdet_bench_scores_{frames}.npz")
+    if os.path.exists(cache_path):
+        os.remove(cache_path)
+
+    # One short warm pass so jit compile is not billed to any repeat.
+    _retry(lambda: classify_video(clip, frame_limit=256, print_every=0,
+                                  precision=precision,
+                                  decode_workers=decode_workers),
+           "e2e-warmup", record=degraded)
+
+    runs = []
+    truncated = False
+    scores = None
+    for r in range(repeats):
+        # Each repeat costs roughly two decode passes (stage + pipeline)
+        # plus the transfer stage; stop early if the budget can't fit
+        # another one (keep margin for the sustained run below).
+        if runs:
+            est = runs[-1]["decode_s"] + runs[-1]["transfer_s"] \
+                + runs[-1]["e2e_s"]
+            if _remaining() < est + 120:
+                truncated = True
+                _log(f"e2e: stopping after {r} repeats (budget)")
+                break
+        try:
+            out, scores = _retry(
+                lambda: _e2e_once(clip, out_csv, precision, decode_workers,
+                                  scores, cache_path),
+                f"e2e-repeat{r}", attempts=2, record=degraded)
+            runs.append(out)
+        except Exception:
+            truncated = True
+            break
+
+    if not runs:
+        return {"error": "no e2e repeat completed", "truncated": True}
+
+    med = {k: float(np.median([r[k] for r in runs]))
+           for k in ("decode_s", "transfer_s", "e2e_s", "smooth_ms",
+                     "csv_ms", "e2e_fps", "decode_fps", "transfer_fps")}
+    n_dec = runs[0]["frames"]
+
+    # Sustained long-clip run: the full production pipeline over a
+    # >=30k-frame clip in one go (the 3-hour-game shape, scaled to this
+    # host), measured as plain wall clock.
+    sustained = None
+    if sustained_frames > frames:
+        est = (med["e2e_s"] + med["decode_s"]) * sustained_frames / frames \
+            + sustained_frames / 180.0  # synthesis at >=180 fps if uncached
+        if _remaining() > est + 60:
+            try:
+                sclip = _make_bench_clip(
+                    os.path.join(tempfile.gettempdir(),
+                                 f"cutdet_bench_{sustained_frames}.mp4"),
+                    sustained_frames)
+                t0 = time.perf_counter()
+                _, seg, stats = segment_video_file(
+                    sclip, out_csv, print_every=0, precision=precision,
+                    decode_workers=decode_workers)
+                wall = time.perf_counter() - t0
+                sustained = {
+                    "frames": stats.frames,
+                    "e2e_s": round(wall, 1),
+                    "e2e_fps": round(stats.frames / wall, 1),
+                    "segments": len(seg),
+                }
+            except Exception as e:
+                sustained = {"error": f"{type(e).__name__}: {e}"[:300]}
+        else:
+            truncated = True
+            _log("e2e: skipping sustained run (budget)")
+    classify_s = (n_dec / classify_fps) if classify_fps else float("inf")
+    serial_s = (med["decode_s"] + med["transfer_s"] + classify_s
+                + (med["smooth_ms"] + med["csv_ms"]) / 1e3)
+    bound_s = max(med["decode_s"], med["transfer_s"], classify_s,
+                  (med["smooth_ms"] + med["csv_ms"]) / 1e3)
+
+    # v5e-8 projection (BASELINE.md north star: <2 min per 3h game).
+    # Assumptions, stated so the number is checkable: (1) classify scales
+    # linearly to 8 chips (frame batches are embarrassingly parallel);
+    # (2) a TPU-VM host sustains >= 8 decode workers at this host's
+    # per-worker rate (they scale with cores; this host has 1);
+    # (3) host->device moves uint8 over local PCIe at >= 4 GB/s, not the
+    # remote relay measured here (relay transfer is a tunnel artifact).
+    game_frames = 3 * 3600 * 30
+    per_worker = med["decode_fps"] / max(decode_workers, 1)
+    proj_decode_fps = per_worker * 8
+    proj_transfer_fps = 4e9 / (144 * 256 * 3)
+    proj_classify_fps = (classify_fps or 0.0) * 8
+    proj_bottleneck = min(proj_decode_fps, proj_transfer_fps,
+                          proj_classify_fps or float("inf"))
+    result = {
+        "frames": n_dec,
+        "repeats": runs,
+        "median": {
+            "e2e_fps": round(med["e2e_fps"], 1),
+            "decode_fps": round(med["decode_fps"], 1),
+            "transfer_fps": round(med["transfer_fps"], 1),
+            "classify_fps": round(classify_fps, 1) if classify_fps else None,
+            "smooth_ms": round(med["smooth_ms"], 2),
+            "csv_ms": round(med["csv_ms"], 2),
+        },
         "overlap": {
-            "e2e_s": round(e2e_s, 3),
+            "e2e_s": round(med["e2e_s"], 3),
             "serial_sum_s": round(serial_s, 3),
             "max_stage_s": round(bound_s, 3),
             # 1.0 = perfect overlap (e2e == max stage); 0.0 = fully serial.
-            "efficiency": round((serial_s - e2e_s)
+            "efficiency": round((serial_s - med["e2e_s"])
                                 / max(serial_s - bound_s, 1e-9), 3),
         },
+        "projection_v5e8": {
+            "assumptions": ("8x classify scaling over chips; 8 decode "
+                            "workers at this host's per-worker rate; "
+                            "local PCIe >= 4 GB/s for uint8 upload"),
+            "decode_fps": round(proj_decode_fps, 0),
+            "transfer_fps": round(proj_transfer_fps, 0),
+            "classify_fps": round(proj_classify_fps, 0),
+            "bottleneck_fps": round(proj_bottleneck, 0),
+            "seconds_per_3h_game": round(game_frames
+                                         / max(proj_bottleneck, 1e-9), 1),
+        },
+        "truncated": truncated,
     }
+    if sustained is not None:
+        result["sustained"] = sustained
+    return result
+
+
+# Fallback ladder for the headline number: fastest rung first, then the
+# byte-parity-everywhere bf16 rung, then strict-parity float32.
+_LADDER = ("uint8_pool", "bfloat16_full", "float32")
 
 
 def main() -> None:
@@ -258,14 +454,35 @@ def main() -> None:
     # is amortized below the noise floor.
     steps = int(os.environ.get("BENCH_STEPS", 512))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
-    # uint8_pool is the fastest rung (uint8 pooled-activation storage,
-    # accuracy-gated by the eval corpus; byte-identical CSV on the golden
-    # clip).  BENCH_PRECISION=bfloat16_full measures the fastest
-    # byte-parity-verified-everywhere mode, float32 the strict-parity mode.
-    precision = os.environ.get("BENCH_PRECISION", "uint8_pool")
+    requested = os.environ.get("BENCH_PRECISION", "uint8_pool")
 
-    ours = bench_ours(batch, steps, seconds)
-    ref = bench_reference(min(batch, 128), min(seconds, 8.0))
+    degraded: list = []
+    ladder = [requested] + [p for p in _LADDER if p != requested]
+    ours = None
+    precision = requested
+    for rung in ladder:
+        try:
+            ours = _retry(lambda: bench_ours(batch, steps, seconds,
+                                             precision=rung),
+                          f"classify[{rung}]", record=degraded)
+            precision = rung
+            break
+        except Exception:
+            _log(f"classify[{rung}]: all attempts failed, "
+                 "falling back down the precision ladder")
+    if ours is None:
+        # Nothing measured at all: emit a diagnostic line, exit non-zero.
+        print(json.dumps({
+            "metric": "frames/sec/chip, 256x144 uint8 -> classify",
+            "value": None, "unit": "frames/sec", "vs_baseline": None,
+            "degraded": degraded,
+        }))
+        sys.exit(1)
+
+    try:
+        ref = bench_reference(min(batch, 128), min(seconds, 8.0))
+    except Exception:
+        ref = None
 
     result = {
         "metric": ("frames/sec/chip, 256x144 uint8 -> classify "
@@ -274,15 +491,23 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(ours / ref, 2) if ref else None,
     }
+    if degraded or precision != requested:
+        result["degraded"] = {"requested": requested, "measured": precision,
+                              "failures": degraded}
     # End-to-end decode->transfer->classify->smooth->CSV measurement on a
-    # synthetic clip, as an artifact of every bench run (BENCH_E2E=0 to
-    # skip; BENCH_E2E_FRAMES sizes the clip).
+    # sustained synthetic clip, as an artifact of every bench run
+    # (BENCH_E2E=0 to skip; BENCH_E2E_FRAMES sizes the clip).
     if os.environ.get("BENCH_E2E", "1") != "0":
         try:
             result["e2e"] = bench_e2e(
                 precision,
-                frames=int(os.environ.get("BENCH_E2E_FRAMES", 3000)),
-                decode_workers=int(os.environ.get("BENCH_E2E_WORKERS", 4)))
+                frames=int(os.environ.get("BENCH_E2E_FRAMES", 10000)),
+                decode_workers=int(os.environ.get("BENCH_E2E_WORKERS", 4)),
+                repeats=int(os.environ.get("BENCH_E2E_REPEATS", 3)),
+                classify_fps=ours,
+                degraded=degraded,
+                sustained_frames=int(
+                    os.environ.get("BENCH_E2E_SUSTAINED", 30000)))
         except Exception as e:  # never break the headline line
             result["e2e"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result))

@@ -59,16 +59,121 @@ def test_main_includes_e2e_breakdown(monkeypatch, capsys):
 
 
 def test_bench_e2e_real_tiny(monkeypatch, tmp_path):
-    """bench_e2e end to end on a tiny clip (CPU), real measurement path."""
+    """bench_e2e end to end on a tiny clip (CPU), real measurement path,
+    with repeats (VERDICT r2 item 4) and the sustained long-clip run."""
+    import time
+
     monkeypatch.setenv("TMPDIR", str(tmp_path))
+    monkeypatch.setattr(bench, "_START", time.monotonic())  # fresh budget
     import tempfile
     tempfile.tempdir = None  # pick up TMPDIR
+    degraded = []
     try:
-        res = bench.bench_e2e("float32", frames=192, decode_workers=2)
+        res = bench.bench_e2e("float32", frames=192, decode_workers=2,
+                              repeats=2, classify_fps=1000.0,
+                              degraded=degraded, sustained_frames=384)
     finally:
         tempfile.tempdir = None
     assert res["frames"] == 192
+    assert len(res["repeats"]) == 2
     for k in ("e2e_fps", "decode_fps", "transfer_fps", "classify_fps"):
-        assert res[k] > 0
+        assert res["median"][k] > 0
     assert set(res["overlap"]) == {"e2e_s", "serial_sum_s", "max_stage_s",
                                    "efficiency"}
+    assert res["sustained"]["frames"] == 384
+    assert res["sustained"]["e2e_fps"] > 0
+    proj = res["projection_v5e8"]
+    assert proj["bottleneck_fps"] > 0 and proj["seconds_per_3h_game"] > 0
+    assert res["truncated"] is False
+
+
+def test_retry_recovers_from_transient_failure(monkeypatch):
+    """A failing first attempt (the BENCH_r02 failure mode) retries and
+    succeeds; the failure is recorded for the degraded field."""
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+        return 42.0
+
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    record = []
+    assert bench._retry(flaky, "classify[test]", record=record) == 42.0
+    assert calls["n"] == 2
+    assert len(record) == 1
+    assert "FAILED_PRECONDITION" in record[0]["error"]
+
+
+def test_retry_exhausts_and_raises(monkeypatch):
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    record = []
+
+    def always_fail():
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        bench._retry(always_fail, "x", attempts=3, record=record)
+    assert len(record) == 3
+
+
+def test_main_survives_failing_first_attempt(monkeypatch, capsys):
+    """main() emits the JSON line even when the first hardware attempt
+    dies with a relay fault — the round-2 scoreboard failure mode."""
+    monkeypatch.setenv("BENCH_E2E", "0")
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+        return 120000.0
+
+    monkeypatch.setattr(bench, "bench_ours", flaky)
+    monkeypatch.setattr(bench, "bench_reference", lambda *a, **k: 40.0)
+    bench.main()
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] == 120000.0
+    assert payload["degraded"]["measured"] == "uint8_pool"
+    assert payload["degraded"]["failures"][0]["attempt"] == 1
+
+
+def test_main_falls_back_down_precision_ladder(monkeypatch, capsys):
+    """If one rung keeps failing, the next rung is measured and the JSON
+    line records the degradation instead of crashing."""
+    monkeypatch.setenv("BENCH_E2E", "0")
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    monkeypatch.setenv("BENCH_RETRIES", "2")
+
+    def by_precision(*a, precision=None, **k):
+        if precision == "uint8_pool":
+            raise RuntimeError("UNAVAILABLE: relay wedged")
+        return 80000.0
+
+    monkeypatch.setattr(bench, "bench_ours", by_precision)
+    monkeypatch.setattr(bench, "bench_reference", lambda *a, **k: 40.0)
+    bench.main()
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] == 80000.0
+    assert "bfloat16_full" in payload["metric"]
+    assert payload["degraded"]["requested"] == "uint8_pool"
+    assert payload["degraded"]["measured"] == "bfloat16_full"
+
+
+def test_main_total_failure_still_emits_json(monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_E2E", "0")
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    monkeypatch.setenv("BENCH_RETRIES", "1")
+
+    def always_fail(*a, **k):
+        raise RuntimeError("dead chip")
+
+    monkeypatch.setattr(bench, "bench_ours", always_fail)
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 1
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] is None
+    assert len(payload["degraded"]) == 3  # one per ladder rung
