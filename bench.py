@@ -16,9 +16,10 @@ Fault tolerance (the round-2 driver capture recorded a transient
 ``FAILED_PRECONDITION`` from the TPU relay as the round's official perf
 number): every hardware measurement runs under bounded retries with
 backoff (`_retry`), the headline falls back through the precision ladder
-uint8_pool -> bfloat16_full -> float32 if one rung keeps failing, and the
-JSON line is emitted (with a ``degraded`` field describing what happened)
-as long as ANY rung measured.  Only a total failure exits non-zero.
+uint8_chain -> uint8_pool -> bfloat16_full -> float32 on repeated
+failure, and the JSON line is emitted (with a ``degraded`` field
+describing what happened) as long as ANY rung measured.  Only a total
+failure exits non-zero.
 
 Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_SECONDS, BENCH_PRECISION,
 BENCH_E2E (0 to skip), BENCH_E2E_FRAMES (per-repeat clip),
@@ -109,7 +110,7 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
     from cut_detection_tpu.ops.preprocess import normalize_frames
 
     if precision is None:
-        precision = os.environ.get("BENCH_PRECISION", "uint8_pool")
+        precision = os.environ.get("BENCH_PRECISION", "uint8_chain")
     net, _ = load_default_net(precision=precision)
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, size=(batch, 144, 256, 3), dtype=np.uint8)
@@ -441,9 +442,9 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
     return result
 
 
-# Fallback ladder for the headline number: fastest rung first, then the
+# Fallback ladder for the headline number: fastest rungs first, then the
 # byte-parity-everywhere bf16 rung, then strict-parity float32.
-_LADDER = ("uint8_pool", "bfloat16_full", "float32")
+_LADDER = ("uint8_chain", "uint8_pool", "bfloat16_full", "float32")
 
 
 def main() -> None:
@@ -454,7 +455,7 @@ def main() -> None:
     # is amortized below the noise floor.
     steps = int(os.environ.get("BENCH_STEPS", 512))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
-    requested = os.environ.get("BENCH_PRECISION", "uint8_pool")
+    requested = os.environ.get("BENCH_PRECISION", "uint8_chain")
 
     degraded: list = []
     ladder = [requested] + [p for p in _LADDER if p != requested]

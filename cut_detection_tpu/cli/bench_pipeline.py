@@ -19,6 +19,7 @@ import time
 import numpy as np
 
 from cut_detection_tpu.utils.logging import setup_logging
+from cut_detection_tpu.config import PRECISION_CHOICES
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -31,8 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--frame-limit", type=int, default=2000)
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full",
-                            "uint8_pool"],
+                   choices=list(PRECISION_CHOICES),
                    default="float32")
     p.add_argument("--cpu", action="store_true")
     return p

@@ -26,6 +26,7 @@ import os
 import numpy as np
 
 from cut_detection_tpu.utils.logging import setup_logging
+from cut_detection_tpu.config import PRECISION_CHOICES
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -42,8 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=144)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full",
-                            "uint8_pool"],
+                   choices=list(PRECISION_CHOICES),
                    default="float32",
                    help="Precision mode baked into the exported program.")
     p.add_argument("--output", type=str, default=None)

@@ -16,6 +16,7 @@ import argparse
 import logging
 
 from cut_detection_tpu.utils.logging import setup_logging
+from cut_detection_tpu.config import PRECISION_CHOICES
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -72,8 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", type=str, default=None,
                    help="Directory for a jax.profiler trace of the run.")
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full",
-                            "uint8_pool"],
+                   choices=list(PRECISION_CHOICES),
                    default="float32",
                    help="float32 guarantees reference-parity CSVs; "
                         "bfloat16 uses bf16 MXU operands; bfloat16_full "

@@ -11,6 +11,7 @@ import argparse
 import logging
 
 from cut_detection_tpu.utils.logging import setup_logging
+from cut_detection_tpu.config import PRECISION_CHOICES
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -25,8 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int, default=1)
     p.add_argument("--device-resize", action="store_true")
     p.add_argument("--precision",
-                   choices=["float32", "bfloat16", "bfloat16_full",
-                            "uint8_pool"],
+                   choices=list(PRECISION_CHOICES),
                    default="float32")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard frame batches across all local devices.")

@@ -15,6 +15,16 @@ import dataclasses
 import json
 from typing import Any
 
+# Inference precision ladder, slowest/strictest first: float32 guarantees
+# byte-identical reference CSVs (<1e-4 logits); bfloat16 runs bf16 MXU
+# operands with f32 activations; bfloat16_full also stores activations
+# bf16; uint8_pool stores the in-layer conv activations uint8 (pooling
+# commutes with monotonic per-channel quantization); uint8_chain further
+# keeps the *inter-layer* pooled activations as raw uint8, folding the
+# dequant+BN affine into the next conv's weights (models/layers.py).
+PRECISION_CHOICES = ("float32", "bfloat16", "bfloat16_full", "uint8_pool",
+                     "uint8_chain")
+
 
 @dataclasses.dataclass(frozen=True)
 class ConvNetConfig:

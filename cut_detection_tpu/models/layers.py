@@ -86,8 +86,7 @@ def apply_conv_block(params, state, x, *, train: bool = False,
         z = conv2d_same(x, params["kernel"], params["bias"],
                         compute_dtype="bfloat16_full")
         z = jax.nn.relu(z).astype(jnp.float32)
-        scale = (state["mean"] + 8.0 * jnp.sqrt(state["var"] + BN_EPS)) / 255.0
-        scale = jnp.maximum(scale.astype(jnp.float32), 1e-12)
+        scale = conv_quantize_scale(state)
         q = jnp.clip(jnp.rint(z / scale), 0.0, 255.0).astype(jnp.uint8)
         p = max_pool(q, pool_window)
         x = p.astype(jnp.float32) * scale
@@ -95,7 +94,7 @@ def apply_conv_block(params, state, x, *, train: bool = False,
                              params["gamma"], params["beta"])
         # bf16 inter-layer activations, matching bfloat16_full's traffic.
         return x.astype(jnp.bfloat16), state
-    if str(compute_dtype) == "uint8_pool":
+    if str(compute_dtype) in ("uint8_pool", "uint8_chain"):
         compute_dtype = "bfloat16_full"  # train / BN-less fallback
     x = conv2d_same(x, params["kernel"], params["bias"],
                     compute_dtype=compute_dtype)
@@ -112,6 +111,63 @@ def apply_conv_block(params, state, x, *, train: bool = False,
                 x, state["mean"], state["var"], params["gamma"], params["beta"]
             )
     return x, state
+
+
+def conv_quantize_scale(state):
+    """Per-channel uint8 quantization scale for a conv block's post-ReLU
+    activation, derived from the checkpoint's own BN running statistics
+    (mean + 8*sigma covers the pre-pool distribution's tail) — no
+    calibration pass needed, user-trained checkpoints work unchanged."""
+    scale = (state["mean"] + 8.0 * jnp.sqrt(state["var"] + BN_EPS)) / 255.0
+    return jnp.maximum(scale.astype(jnp.float32), 1e-12)
+
+
+def apply_conv_block_u8(params, state, x, affine, *, pool_window: int = 3):
+    """One eval-mode conv block of the ``uint8_chain`` precision rung.
+
+    Same math as the ``uint8_pool`` branch of :func:`apply_conv_block`
+    (conv -> ReLU -> uint8 quantize -> maxpool -> BN; frameID/net.py:33-40
+    order), but the dequantize+BN affine is NOT applied to the pooled
+    activation — it is returned alongside the raw uint8 tensor and folded
+    into the NEXT conv's weights:
+
+        conv(q * a + b, W) == conv(q, W * diag(a)) + conv(b * 1, W)
+
+    so the inter-layer HBM tensor is 1 B/elem instead of bf16's 2 B/elem
+    (the dominant remaining traffic after the in-layer uint8 round trip;
+    docs/PERFORMANCE.md).  The constant second term — exact including the
+    zero-padding border ring, where edge pixels see fewer taps — is one
+    batch-1 convolution, ~1/B of the batch conv's cost.
+
+    ``x`` is dense float for the first layer (``affine=None``) or the
+    previous block's raw uint8 activation.  Returns ``(q, (a, b))``.
+    """
+    kernel = params["kernel"]
+    if affine is None:
+        z = conv2d_same(x, kernel, params["bias"],
+                        compute_dtype="bfloat16_full")
+    else:
+        a, b = affine
+        kq = kernel.astype(jnp.float32) * a[None, None, :, None]
+        z = conv2d_same(x, kq, None, compute_dtype="bfloat16_full")
+        ring = conv2d_same(
+            jnp.broadcast_to(b, (1, x.shape[1], x.shape[2], b.shape[0])),
+            kernel, params["bias"], compute_dtype="bfloat16_full")
+        z = z + ring
+    z = jax.nn.relu(z).astype(jnp.float32)
+    scale = conv_quantize_scale(state)
+    q = jnp.clip(jnp.rint(z / scale), 0.0, 255.0).astype(jnp.uint8)
+    q = max_pool(q, pool_window)
+    # Pending affine: dequant (*scale) composed with eval-mode BN (*s + t).
+    s = params["gamma"] * jax.lax.rsqrt(state["var"] + BN_EPS)
+    t = params["beta"] - state["mean"] * s
+    return q, (scale * s.astype(jnp.float32), t.astype(jnp.float32))
+
+
+def dequantize_u8(q, affine, dtype=jnp.bfloat16):
+    """Materialize dense activations from a (q, (a, b)) pair."""
+    a, b = affine
+    return (q.astype(jnp.float32) * a + b).astype(dtype)
 
 
 def init_fc_block(key, in_f: int, out_f: int, *, batch_norm: bool = True,

@@ -80,6 +80,15 @@ def max_pool(x, window: int = 3, stride: int | None = None):
     """
     if stride is None:
         stride = window
+    # NOTE (round 3, measured-and-rejected): a slice+reshape+max
+    # decomposition (exactly floor-mode pooling) benchmarked 2.7x
+    # faster than reduce_window on uint8 STANDALONE
+    # (scripts/probe_u8chain.py) — but swapping it in collapsed the
+    # full uint8 rungs 112k -> 52k fps (bf16_full unchanged at 81k in
+    # the same window, so not chip drift): in-graph, the reshape forces
+    # a layout pass on the conv's uint8 output that costs far more than
+    # the pool saves, the same failure mode as round 2's bf16
+    # fusible-pool recast (docs/PERFORMANCE.md).  reduce_window stays.
     # Plain literal init keeps reduce_window on the max-pool autodiff path
     # (select-and-scatter VJP); a traced init value breaks linearization.
     # Integer inputs (the uint8_pool precision rung) use the dtype's min.

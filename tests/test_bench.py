@@ -136,7 +136,7 @@ def test_main_survives_failing_first_attempt(monkeypatch, capsys):
     bench.main()
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] == 120000.0
-    assert payload["degraded"]["measured"] == "uint8_pool"
+    assert payload["degraded"]["measured"] == "uint8_chain"
     assert payload["degraded"]["failures"][0]["attempt"] == 1
 
 
@@ -148,7 +148,7 @@ def test_main_falls_back_down_precision_ladder(monkeypatch, capsys):
     monkeypatch.setenv("BENCH_RETRIES", "2")
 
     def by_precision(*a, precision=None, **k):
-        if precision == "uint8_pool":
+        if precision in ("uint8_chain", "uint8_pool"):
             raise RuntimeError("UNAVAILABLE: relay wedged")
         return 80000.0
 
@@ -158,7 +158,7 @@ def test_main_falls_back_down_precision_ladder(monkeypatch, capsys):
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] == 80000.0
     assert "bfloat16_full" in payload["metric"]
-    assert payload["degraded"]["requested"] == "uint8_pool"
+    assert payload["degraded"]["requested"] == "uint8_chain"
     assert payload["degraded"]["measured"] == "bfloat16_full"
 
 
@@ -176,4 +176,4 @@ def test_main_total_failure_still_emits_json(monkeypatch, capsys):
     assert ei.value.code == 1
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] is None
-    assert len(payload["degraded"]) == 3  # one per ladder rung
+    assert len(payload["degraded"]) == 4  # one per ladder rung

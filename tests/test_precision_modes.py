@@ -15,20 +15,68 @@ def frames():
 def test_modes_agree_on_argmax(frames):
     nets = {p: load_default_net(precision=p)[0]
             for p in ("float32", "bfloat16", "bfloat16_full",
-                      "uint8_pool")}
+                      "uint8_pool", "uint8_chain")}
     logits = {p: np.asarray(n(frames)) for p, n in nets.items()}
     # bf16 operand truncation moves logits by O(1e-2); class decisions on
     # non-borderline inputs must not move.
     assert np.abs(logits["float32"] - logits["bfloat16"]).max() < 0.1
     assert np.abs(logits["float32"] - logits["bfloat16_full"]).max() < 0.3
-    # uint8_pool adds ~0.4% activation rounding per conv layer.
+    # uint8_pool adds ~0.4% activation rounding per conv layer;
+    # uint8_chain reorders the same affine (folded into the next conv)
+    # so its rounding error has the same magnitude.
     assert np.abs(logits["float32"] - logits["uint8_pool"]).max() < 0.5
-    np.testing.assert_array_equal(logits["float32"].argmax(1),
-                                  logits["bfloat16"].argmax(1))
-    np.testing.assert_array_equal(logits["float32"].argmax(1),
-                                  logits["bfloat16_full"].argmax(1))
-    np.testing.assert_array_equal(logits["float32"].argmax(1),
-                                  logits["uint8_pool"].argmax(1))
+    assert np.abs(logits["float32"] - logits["uint8_chain"]).max() < 0.5
+    for p in ("bfloat16", "bfloat16_full", "uint8_pool", "uint8_chain"):
+        np.testing.assert_array_equal(logits["float32"].argmax(1),
+                                      logits[p].argmax(1))
+
+
+def test_uint8_chain_deferred_affine_identity():
+    """The uint8_chain weight fold is exact in real arithmetic:
+    conv(q*a + b, W) == conv(q, W*diag(a)) + conv(b*ones, W), including
+    the zero-padding border ring (models/layers.apply_conv_block_u8)."""
+    import jax.numpy as jnp
+
+    from cut_detection_tpu.ops.nn import conv2d_same
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 256, size=(2, 11, 13, 5)).astype(np.float32)
+    a = rng.random(5, dtype=np.float32) + 0.1
+    b = rng.standard_normal(5).astype(np.float32)
+    w = rng.standard_normal((3, 3, 5, 7)).astype(np.float32)
+    bias = rng.standard_normal(7).astype(np.float32)
+
+    dense = conv2d_same(jnp.asarray(q * a + b), jnp.asarray(w),
+                        jnp.asarray(bias))
+    folded = conv2d_same(jnp.asarray(q), jnp.asarray(w * a[None, None, :,
+                                                           None]))
+    ring = conv2d_same(jnp.broadcast_to(jnp.asarray(b), (1, 11, 13, 5)),
+                       jnp.asarray(w), jnp.asarray(bias))
+    # Equal up to f32 summation-order rounding (different accumulation
+    # trees for the two sides; observed rel diff <=5e-5 at |out|~700).
+    np.testing.assert_allclose(np.asarray(folded + ring), np.asarray(dense),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_uint8_chain_interlayer_tensor_is_uint8():
+    """The inter-layer activations really are uint8 in the jaxpr (the
+    whole point of the rung: 1 B/elem HBM traffic between blocks)."""
+    import jax
+
+    net = load_default_net(precision="uint8_chain")[0]
+    x = np.zeros((2, 144, 256, 3), np.float32)
+    from cut_detection_tpu.models.assembly import _glued_apply
+
+    jaxpr = jax.make_jaxpr(
+        lambda b, xx: _glued_apply(b, xx, conv_cfg=net.conv_cfg,
+                                   linear_cfg=net.linear_cfg,
+                                   compute_dtype="uint8_chain"))(
+        jax.device_get(net.bundle), x)
+    # The pooled inter-block activations are uint8 at their exact
+    # pooled shapes (256x144 input -> 85x48 -> 28x16 -> 9x5, 48ch).
+    text = str(jaxpr)
+    for shape in ("u8[2,48,85,48]", "u8[2,16,28,48]", "u8[2,5,9,48]"):
+        assert shape in text, shape
 
 
 def test_bf16_full_conv_outputs_bf16():
