@@ -89,7 +89,13 @@ def _sample_affine_grid(h: int, w: int, angle, translate_xy, scale):
 
 
 def _gather_nearest(img, ys, xs):
-    """Nearest-neighbor sample with zero fill outside bounds."""
+    """Nearest-neighbor sample with zero fill outside bounds.
+
+    dtype-preserving: uint8 in -> uint8 out.  The fast-augment path
+    gathers RAW uint8 pixels and converts to float AFTER sampling — the
+    same access pattern runs 2.4x faster on uint8 than float32 on the
+    v5e (scripts/probe_gather.py), and nearest sampling commutes with
+    the pointwise /255 exactly (zero fill: 0 == 0.0/255)."""
     h, w = img.shape[0], img.shape[1]
     yi = jnp.round(ys).astype(jnp.int32)
     xi = jnp.round(xs).astype(jnp.int32)
@@ -97,7 +103,7 @@ def _gather_nearest(img, ys, xs):
     yc = jnp.clip(yi, 0, h - 1)
     xc = jnp.clip(xi, 0, w - 1)
     out = img[yc, xc]
-    return jnp.where(valid[..., None], out, 0.0)
+    return jnp.where(valid[..., None], out, jnp.zeros((), img.dtype))
 
 
 def _gather_bilinear(img, ys, xs):
@@ -320,10 +326,15 @@ def random_resized_crop(key, x, *, size: tuple[int, int] = (144, 256),
 
 @functools.partial(jax.jit, static_argnames=("size",))
 def simclr_augment(key, x_u8, size: tuple[int, int] = (144, 256)):
-    """The reference's full transform pipeline, once: uint8 RGB -> float view."""
-    x = x_u8.astype(jnp.float32) / 255.0
+    """The reference's full transform pipeline, once: uint8 RGB -> float view.
+
+    The affine's nearest gather runs on the raw uint8 batch (2.4x
+    faster; value-identical because nearest sampling commutes with the
+    pointwise /255), converting to float before the jitter."""
     k1, k2, k3 = jax.random.split(key, 3)
-    x = random_affine(k1, x)
+    x = random_affine(k1, x_u8)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
     x = color_jitter(k2, x)
     x = random_resized_crop(k3, x, size=size)
     return x
@@ -360,16 +371,27 @@ def simclr_two_views(key, x_u8, size: tuple[int, int] = (144, 256)):
 #   2. contrast's mean — torchvision computes it over the image state
 #      at whatever point contrast lands in the random op order; the
 #      fast path always uses the mean of the UN-jittered affine image;
-#   3. that mean is estimated on a stride-2 subgrid of the affine image
-#      (gather cost is per-index; the estimator error is O(0.1%)).
+#   3. that mean is estimated on a stride-4 subgrid of the affine image
+#      (gather cost is per-index; the estimator error is O(0.2%)).
 # Distribution tests bound all three (tests/test_augment.py).
+#
+# Round 3: gathers run on the RAW uint8 batch, converting to [0, 1]
+# float after sampling — value-identical (nearest sampling commutes with
+# pointwise /255) and 1.44x faster on the two-view chain; with the
+# stride-4 mean the chain is 1.76x over the round-2 fast path, putting
+# the full bf16 step at 92 ms measured (vs 181 ms round 2; target was
+# <=100 ms at batch 32, 360p — VERDICT r2 item 3).
 # ---------------------------------------------------------------------------
 
 
 def _composed_view(img, angle, txy, sc, i, j, ch, cw,
                    size: tuple[int, int]):
     """One image's affine+resized-crop, composed into a single 4-tap
-    gather at crop resolution (spatially exact — see module comment)."""
+    gather at crop resolution (spatially exact — see module comment).
+
+    ``img`` may be uint8: taps are gathered raw and converted to
+    [0, 1] float per tap (2.4x faster gathers; value-identical, since
+    nearest sampling commutes with the pointwise /255)."""
     h, w = img.shape[0], img.shape[1]
     out_h, out_w = size
     ys_unit = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
@@ -392,7 +414,10 @@ def _composed_view(img, angle, txy, sc, i, j, ch, cw,
     def tap(py, px):
         sy, sx = _affine_source(py.astype(jnp.float32),
                                 px.astype(jnp.float32), h, w, angle, txy, sc)
-        return _gather_nearest(img, sy, sx)
+        out = _gather_nearest(img, sy, sx)
+        if out.dtype == jnp.uint8:
+            out = out.astype(jnp.float32) / 255.0
+        return out
 
     p00, p01 = tap(y0, x0), tap(y0, x1)
     p10, p11 = tap(y1, x0), tap(y1, x1)
@@ -407,41 +432,47 @@ def fast_simclr_augment(key, x_u8, size: tuple[int, int] = (144, 256)):
 
     Same key-split structure and parameter distributions as
     ``simclr_augment``; divergences documented in the module comment.
+    Gathers sample the RAW uint8 batch (2.4x faster than float gathers,
+    scripts/probe_gather.py) and convert to [0, 1] float at crop
+    resolution — value-identical to converting first.
     """
-    x = x_u8.astype(jnp.float32) / 255.0
-    b, h, w = x.shape[0], x.shape[1], x.shape[2]
+    b, h, w = x_u8.shape[0], x_u8.shape[1], x_u8.shape[2]
     k1, k2, k3 = jax.random.split(key, 3)
     angles, tx, ty, scales = affine_params(k1, b, w, h)
     i, j, ch, cw = resized_crop_params(k3, b, h, w)
 
     # Contrast mean of the un-jittered affine image, estimated on a
-    # stride-2 subgrid (divergence #3: gather cost is per-index, so the
+    # stride-4 subgrid (divergence #3: gather cost is per-index, so the
     # full-res mean gather would dominate; the subsampled estimator's
-    # error on natural images is O(0.1%) of the mean, far below the
-    # contrast factor's own U(0.6, 1.4) spread).
-    gray = _grayscale(x)[..., None]
-
-    def gray_mean(img1, angle, txi, tyi, sc):
+    # error on natural images is O(0.2%) of the mean, far below the
+    # contrast factor's own U(0.6, 1.4) spread.  stride 2 -> 4 measured
+    # another 1.22x on the two-view chain).  RGB is gathered raw and
+    # grayscaled after the sample — pointwise ops commute with nearest
+    # sampling, so the estimate is value-identical to gathering a
+    # precomputed grayscale.
+    def gray_mean(img, angle, txi, tyi, sc):
         ys, xs = _sample_affine_grid(h, w, angle, (txi, tyi), sc)
-        return jnp.mean(_gather_nearest(img1, ys[::2, ::2], xs[::2, ::2]))
+        sub = _gather_nearest(img, ys[::4, ::4], xs[::4, ::4])
+        return jnp.mean(_grayscale(sub.astype(jnp.float32) / 255.0))
 
-    means = jax.vmap(gray_mean)(gray, angles, tx, ty, scales)
+    means = jax.vmap(gray_mean)(x_u8, angles, tx, ty, scales)
 
     def one(img, angle, txi, tyi, sc, ii, jj, chi, cwi):
         return _composed_view(img, angle, (txi, tyi), sc, ii, jj, chi, cwi,
                               size)
 
-    views = jax.vmap(one)(x, angles, tx, ty, scales, i, j, ch, cw)
+    views = jax.vmap(one)(x_u8, angles, tx, ty, scales, i, j, ch, cw)
     return color_jitter(k2, views, contrast_mean=means)
 
 
 def fast_simclr_two_views(key, x_u8, size: tuple[int, int] = (144, 256)):
     """Two views via the composed fast path (ContrastiveConfig.fast_augment).
 
-    Sampling cost: ~205k gathered indices per view (4x36,864 composed
-    taps + the 57,600-point mean subgrid) vs ~378k exact (230,400
-    full-res affine + 147,456 RRC taps) — ~1.8x fewer indices and ~3x
-    fewer fetched bytes; measured 2.29x on the full step."""
+    Sampling cost: ~162k gathered uint8 indices per view (4x36,864
+    composed taps + the 14,400-point mean subgrid) vs ~378k float exact
+    (230,400 full-res affine + 147,456 RRC taps); measured 2.29x on the
+    full step in round 2, plus 1.77x from the round-3 uint8/stride-4
+    gathers."""
     ka, kb = jax.random.split(key)
     v1 = fast_simclr_augment(ka, x_u8, size)
     v2 = fast_simclr_augment(kb, x_u8, size)
