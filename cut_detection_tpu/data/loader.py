@@ -71,20 +71,35 @@ class PrefetchLoader:
     standard double-buffering needed to hide input latency on TPU.
     """
 
+    _SENTINEL = object()
+
     def __init__(self, iterable, depth: int = 2):
         self.iterable = iterable
         self.depth = depth
         self._stop = threading.Event()
+        self._q: queue.Queue | None = None
+        self._error: list[BaseException] = []
 
     def close(self) -> None:
         """Stop the producer thread (for consumers that break early —
         e.g. ``--frame-limit`` — so decode doesn't run ahead forever)."""
         self._stop.set()
 
-    def __iter__(self):
+    def start(self) -> "PrefetchLoader":
+        """Begin producing into the bounded queue NOW (idempotent).
+
+        Lets a caller start decode-ahead before it is ready to consume —
+        the serving daemon uses this to overlap request N+1's host decode
+        with request N's device compute (the device lock only serializes
+        the consuming side).  ``__iter__`` calls this implicitly, so the
+        loader is single-use either way.
+        """
+        if self._q is not None:
+            return self
         q: queue.Queue = queue.Queue(maxsize=self.depth)
-        sentinel = object()
-        error: list[BaseException] = []
+        self._q = q
+        error = self._error
+        sentinel = PrefetchLoader._SENTINEL
 
         def producer():
             try:
@@ -109,12 +124,17 @@ class PrefetchLoader:
                             return
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        return self
+
+    def __iter__(self):
+        self.start()
+        q = self._q
         try:
             while True:
                 item = q.get()
-                if item is sentinel:
-                    if error:
-                        raise error[0]
+                if item is PrefetchLoader._SENTINEL:
+                    if self._error:
+                        raise self._error[0]
                     return
                 yield item
         finally:

@@ -126,6 +126,43 @@ def test_prefetch_matches_unprefetched(synthetic_video):
     np.testing.assert_array_equal(la[0], lb[0])
 
 
+def test_decode_ahead_preloaded_matches(synthetic_video):
+    """start_decode_ahead begins filling its bounded queue BEFORE any
+    consumer runs (the serve daemon overlaps a queued request's decode
+    with the in-flight request's device compute), and a preloaded
+    classify produces identical scores to the direct path."""
+    import time
+
+    from cut_detection_tpu.pipeline import start_decode_ahead
+
+    pre = start_decode_ahead(synthetic_video, batch_size=32)
+    try:
+        deadline = time.time() + 20
+        while pre[1]._q.qsize() == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert pre[1]._q.qsize() > 0  # produced with no consumer attached
+        a = classify_video(synthetic_video, batch_size=32, print_every=0,
+                           preloaded=pre)
+    finally:
+        pre[1].close()
+    b = classify_video(synthetic_video, batch_size=32, print_every=0)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    assert a[2].frames == b[2].frames
+
+
+def test_decode_ahead_rejects_device_preprocess(synthetic_video):
+    from cut_detection_tpu.pipeline import start_decode_ahead
+
+    pre = start_decode_ahead(synthetic_video, batch_size=32)
+    try:
+        with pytest.raises(ValueError, match="preloaded decode"):
+            classify_video(synthetic_video, batch_size=32, print_every=0,
+                           device_resize=True, preloaded=pre)
+    finally:
+        pre[1].close()
+
+
 def test_prefetch_loader_close_stops_producer():
     """PrefetchLoader.close() (and abandoning the iterator) stops the
     producer thread rather than decoding ahead forever."""
