@@ -41,20 +41,45 @@ A22_1, A22_2, A22_3 = (60, 60, 140), (0, 60, 120), (80, 140, 200)
 EZ = (160, 160, 30)
 B_1, B_2 = (10, 10, 10), (40, 120, 40)
 
-# Each clip: list of (label, n_frames, bgr_color).
+# Near-decision-boundary colors (scripts/probe_boundary_colors.py,
+# stage 2 — probed THROUGH the mp4 codec, whose YUV round trip shifts
+# flat colors by several logit units): float32 margins of ~0.004/0.007
+# in-clip — small enough that bfloat16 rounding flips the per-frame
+# argmax (5/12 and 4/12 probe frames), unlike the >=2.4-margin solid
+# palette a 0.99 gate can never probe (VERDICT r2 weak #7).  They appear
+# only in sub-blank-threshold (9 < kb=10) blocks, so WHATEVER class a
+# precision rung assigns them, the smoother glues the block into a
+# neighbor and the CSV stays comparable across rungs; the flips are
+# asserted pre-smoothing (tests/test_eval_corpus.py).
+ADV_1 = (49, 97, 85)     # in-clip margin ~0.004, flickers a22/ez
+ADV_2 = (133, 186, 195)  # in-clip margin ~0.007, flickers a22/ez
+
+# Each clip: (seed, [(label, n_frames, bgr_color), ...]).  Seeds are
+# pinned explicitly so adding clips never reshuffles the noise streams
+# of the committed ones (regeneration stays byte-stable).
 CLIPS = {
-    "corpus_a": [
+    "corpus_a": (0, [
         ("a22", 150, A22_1), ("b", 20, B_1), ("ez", 140, EZ),
         ("a22", 130, A22_2), ("b", 30, B_2), ("ez", 120, EZ),
-    ],
-    "corpus_b": [
+    ]),
+    "corpus_b": (1, [
         ("b", 40, B_1), ("a22", 200, A22_3), ("ez", 160, EZ),
         ("b", 15, B_1), ("a22", 120, A22_1),
-    ],
-    "corpus_c": [
+    ]),
+    "corpus_c": (2, [
         ("ez", 130, EZ), ("b", 25, B_2), ("a22", 260, A22_2),
         ("ez", 125, EZ),
-    ],
+    ]),
+    # Adversarial clip: 9-frame near-boundary blocks between solids.
+    # Labels here are placeholders — its truth CSV is the float32
+    # pipeline's own output (strict-parity mode, torch-verified <1e-4),
+    # because the glue destination of a flickering sub-threshold block
+    # is pipeline-defined, not designable.
+    "corpus_adv": (3, [
+        ("a22", 150, A22_1), ("adv", 9, ADV_1), ("ez", 140, EZ),
+        ("b", 20, B_1), ("adv", 9, ADV_2), ("a22", 130, A22_3),
+        ("b", 15, B_2), ("ez", 120, EZ),
+    ]),
 }
 
 
@@ -84,15 +109,37 @@ def write_truth(path: str, truth: list[tuple[int, str]]) -> None:
             wtr.writerow(row)
 
 
+def pipeline_truth(clip: str) -> list[tuple[int, str]]:
+    """Truth for the adversarial clip = the float32 pipeline's own
+    segmentation (strict-parity mode; logits torch-verified <1e-4).  The
+    near-boundary blocks flicker pre-smoothing, so where the smoother
+    glues them is pipeline-defined behavior, not a designable label."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tempfile
+
+    from cut_detection_tpu.pipeline import segment_video_file
+    from cut_detection_tpu.segmentation.rle import INVERSE_LAB_ENUM
+
+    out = os.path.join(tempfile.gettempdir(), "corpus_adv_f32.csv")
+    _, seg, _ = segment_video_file(clip, out, print_every=0,
+                                   precision="float32")
+    return [(int(s), INVERSE_LAB_ENUM[int(t)])
+            for s, t in zip(seg.te["start_frames"], seg.te["frame_types"])]
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
-    for seed, (name, blocks) in enumerate(sorted(CLIPS.items())):
+    for name, (seed, blocks) in sorted(CLIPS.items()):
         clip = os.path.join(OUT_DIR, f"{name}.mp4")
         truth = write_clip(clip, blocks, seed)
+        if any(label == "adv" for label, _, _ in blocks):
+            truth = pipeline_truth(clip)
         write_truth(os.path.join(OUT_DIR, f"{name}_truth.csv"), truth)
         n = sum(b[1] for b in blocks)
-        print(f"{name}: {n} frames, {len(blocks)} segments, "
-              f"{os.path.getsize(clip)} bytes")
+        print(f"{name}: {n} frames, {len(blocks)} designed blocks, "
+              f"{len(truth)} truth segments, {os.path.getsize(clip)} bytes")
 
 
 if __name__ == "__main__":

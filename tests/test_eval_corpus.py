@@ -58,12 +58,65 @@ def test_float32_full_corpus(tmp_path):
 
 
 @pytest.mark.parametrize("precision", ["bfloat16", "bfloat16_full",
-                                       "uint8_pool"])
+                                       "uint8_pool", "uint8_chain"])
 def test_bf16_modes_hold_accuracy(precision, tmp_path):
     name, n = CORPUS[0]  # corpus_a exercises all three classes
     out = str(tmp_path / f"{name}_{precision}.csv")
     segment_video_file(_clip(name), out, print_every=0, precision=precision)
     _gate(out, name, n)
+
+
+ADV = ("corpus_adv", 593)
+
+# The adversarial clip carries two 9-frame near-boundary blocks (logit
+# margins 0.021 / 0.029; scripts/probe_boundary_colors.py), so the fast
+# rungs CAN misclassify frames there — the gates below are tuned to
+# allow the sub-threshold blocks to land in either neighbor (18 of 593
+# frames ~= 3%) while still tripping on any wholesale regression.
+ADV_FRAME_MIN = 0.96
+
+
+def test_adversarial_clip_flips_pre_smoothing(tmp_path):
+    """bfloat16_full and float32 argmax MUST differ on >=1 frame of the
+    adversarial clip pre-smoothing (VERDICT r2 item 7: prove the corpus
+    can actually probe quantization error), and every differing frame
+    lies inside a designed near-boundary block."""
+    from cut_detection_tpu.pipeline import classify_video
+
+    name, _ = ADV
+    _, p32, _ = classify_video(_clip(name), print_every=0,
+                               precision="float32")
+    _, pbf, _ = classify_video(_clip(name), print_every=0,
+                               precision="bfloat16_full")
+    diff = np.nonzero(p32 != pbf)[0]
+    assert diff.size >= 1, "corpus_adv no longer flips under bf16"
+    adv_spans = [(150, 159), (319, 328)]  # designed block extents
+    for f in diff:
+        assert any(lo <= f < hi for lo, hi in adv_spans), int(f)
+
+
+def test_float32_adversarial_exact(tmp_path):
+    """Strict-parity mode reproduces the committed truth exactly (the
+    truth IS the float32 pipeline's deterministic output)."""
+    name, n = ADV
+    out = str(tmp_path / "adv_f32.csv")
+    segment_video_file(_clip(name), out, print_every=0,
+                       precision="float32")
+    assert open(out, "rb").read() == open(_truth(name), "rb").read()
+    res = _gate(out, name, n)
+    assert res["frame_accuracy"] == 1.0
+
+
+@pytest.mark.parametrize("precision", ["bfloat16", "bfloat16_full",
+                                       "uint8_pool", "uint8_chain"])
+def test_fast_rungs_hold_on_adversarial_clip(precision, tmp_path):
+    """Every fast rung must stay within the tuned adversarial gate: the
+    near-boundary blocks may glue either way, but the solid blocks (97%
+    of frames) must hold."""
+    name, n = ADV
+    out = str(tmp_path / f"adv_{precision}.csv")
+    segment_video_file(_clip(name), out, print_every=0, precision=precision)
+    _gate(out, name, n, frame_min=ADV_FRAME_MIN)
 
 
 def test_quantized_int8_holds_accuracy(tmp_path):
