@@ -27,6 +27,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from typing import Iterator
@@ -65,8 +66,17 @@ def open_video(video_path: str):
     """Open a video; return (capture, info).  frameID/data.py:13-31 contract.
 
     ``fps`` is int-truncated exactly like the reference (data.py:20).
+
+    In-decoder threading: cv2's ffmpeg backend takes per-capture options
+    from $OPENCV_FFMPEG_CAPTURE_OPTIONS; ``threads;0`` turns on ffmpeg's
+    auto frame/slice threading (the native decoder already sets
+    thread_count=0 — native/video_decoder.cpp:108-110), which multiplies
+    with chunk parallelism on multi-core TPU-VM hosts.  Decoded bytes
+    are unchanged (threading only reorders work).  Respecting an
+    existing value lets deployments pin their own thread budget.
     """
     _require_cv2()
+    os.environ.setdefault("OPENCV_FFMPEG_CAPTURE_OPTIONS", "threads;0")
     cap = cv2.VideoCapture(video_path)
     fps = int(cap.get(cv2.CAP_PROP_FPS))
     length = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
