@@ -80,11 +80,44 @@ CLIPS = {
         ("b", 20, B_1), ("adv", 9, ADV_2), ("a22", 130, A22_3),
         ("b", 15, B_2), ("ez", 120, EZ),
     ]),
+    # Naturalistic clip (round 3, VERDICT r2 missing #3): the flat+white
+    # -noise clips have activation distributions nothing like broadcast
+    # footage, so quantization rungs were never gated on realistic
+    # inputs.  This clip overlays a PANNING 1/f-spectrum texture
+    # (natural images have ~1/f^2 power spectra; the pan emulates camera
+    # motion, so every frame differs structurally, and the mp4 codec
+    # compresses it like real content) at an amplitude verified to keep
+    # the float32 pipeline exactly on the designed labels.
+    "corpus_nat": (4, [
+        ("a22", 150, A22_1), ("b", 20, B_1), ("ez", 140, EZ),
+        ("a22", 130, A22_2), ("b", 25, B_2), ("ez", 125, EZ),
+    ]),
 }
+
+NATURAL_CLIPS = {"corpus_nat"}
+# Texture amplitude in pixel values, per class: film blocks carry full
+# texture; blank blocks stay flatter (their palette margins are 2.4-2.9
+# vs 6-9 for film — and real blank/slate frames ARE flat).  Verified:
+# float32 recovers the designed labels on every frame at these levels.
+NATURAL_AMP = {"a22": 20.0, "ez": 20.0, "b": 6.0}
+
+
+def _pink_field(rng, h: int, w: int, beta: float = 2.0) -> np.ndarray:
+    """Zero-mean 1/f^(beta/2)-amplitude (1/f^beta power) random field in
+    [-1, 1], the canonical natural-image spectrum."""
+    white = rng.standard_normal((h, w))
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    f = np.sqrt(fy * fy + fx * fx)
+    f[0, 0] = 1.0
+    spec = np.fft.fft2(white) / (f ** (beta / 2.0))
+    spec[0, 0] = 0.0
+    field = np.real(np.fft.ifft2(spec))
+    return field / np.max(np.abs(field))
 
 
 def write_clip(path: str, blocks, seed: int, w: int = 384,
-               h: int = 216) -> list[tuple[int, str]]:
+               h: int = 216, natural: bool = False) -> list[tuple[int, str]]:
     wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
     assert wr.isOpened(), path
     rng = np.random.default_rng(seed)
@@ -93,9 +126,21 @@ def write_clip(path: str, blocks, seed: int, w: int = 384,
     for label, n, color in blocks:
         truth.append((frame, label))
         base = np.full((h, w, 3), color, np.uint8)
-        for _ in range(n):
-            wr.write(cv2.add(base,
-                             rng.integers(0, 8, (h, w, 3), dtype=np.uint8)))
+        if natural:
+            # One wide 1/f field per block; each frame samples a window
+            # drifting 2 px/frame (camera pan), plus residual noise.
+            pan = 2
+            field = _pink_field(rng, h, w + pan * n)
+            amp = NATURAL_AMP[label]
+            for i in range(n):
+                tex = field[:, pan * i:pan * i + w, None] * amp
+                img = base.astype(np.int16) + np.round(tex).astype(np.int16)
+                img += rng.integers(0, 4, (h, w, 3), dtype=np.int16)
+                wr.write(np.clip(img, 0, 255).astype(np.uint8))
+        else:
+            for _ in range(n):
+                wr.write(cv2.add(
+                    base, rng.integers(0, 8, (h, w, 3), dtype=np.uint8)))
         frame += n
     wr.release()
     return truth
@@ -133,7 +178,8 @@ def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     for name, (seed, blocks) in sorted(CLIPS.items()):
         clip = os.path.join(OUT_DIR, f"{name}.mp4")
-        truth = write_clip(clip, blocks, seed)
+        truth = write_clip(clip, blocks, seed,
+                           natural=name in NATURAL_CLIPS)
         if any(label == "adv" for label, _, _ in blocks):
             truth = pipeline_truth(clip)
         write_truth(os.path.join(OUT_DIR, f"{name}_truth.csv"), truth)
