@@ -237,15 +237,22 @@ def _make_handler(state: _State):
                 self._reply(404, {"error": "not found"})
 
         def _segment_one(self, input_path: str, req: dict,
-                         allow_output_path: bool = True) -> dict:
+                         allow_output_path: bool = True,
+                         preloaded=None) -> dict:
             """Run one video through the pipeline (serialized); returns
-            the response payload.  Raises ValueError for bad inputs."""
+            the response payload.  Raises ValueError for bad inputs.
+            ``preloaded`` hands over an already-started decode-ahead
+            handle (the batch endpoint pipelines video i+1's decode
+            under video i's device time); ownership transfers — it is
+            closed here on every path."""
             from cut_detection_tpu.pipeline import segment_video_file
 
             model = req.get("model", "default")
             net = state.net if model == "default" else \
                 state.nets.get(model)
             if net is None:
+                if preloaded is not None:  # ownership is ours to release
+                    preloaded[1].close()
                 raise ValueError(
                     f"unknown model {model!r}; loaded: "
                     f"{['default'] + sorted(state.nets)}")
@@ -264,14 +271,14 @@ def _make_handler(state: _State):
             t0 = time.time()
             with state.meta_lock:
                 state.queue_depth += 1
-            preloaded = None
             try:
                 # Start this request's host decode BEFORE waiting on the
                 # device lock: while request N holds the chip, request
                 # N+1's decode fills a bounded prefetch queue, so the
                 # chip-idle-during-decode serialization (VERDICT r2 weak
                 # #8) collapses to max(decode, device) across requests.
-                if state.decode_ahead and os.path.isfile(input_path):
+                if preloaded is None and state.decode_ahead \
+                        and os.path.isfile(input_path):
                     from cut_detection_tpu.pipeline import start_decode_ahead
 
                     preloaded = start_decode_ahead(
@@ -444,16 +451,44 @@ def _make_handler(state: _State):
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
 
+            # Batch pipelining: start video i+1's host decode before
+            # video i runs, so its bounded prefetch queue fills while
+            # video i holds the chip — across a batch, e2e collapses
+            # toward max(total decode, total device) instead of the sum.
+            pres: dict = {}
+
+            def start_pre(i: int) -> None:
+                if (state.decode_ahead and 0 <= i < len(paths)
+                        and isinstance(paths[i], str)
+                        and os.path.isfile(paths[i])):
+                    from cut_detection_tpu.pipeline import start_decode_ahead
+
+                    try:
+                        pres[i] = start_decode_ahead(
+                            paths[i],
+                            batch_size=req.get("batch_size", 128),
+                            decode_workers=req.get("decode_workers", 1),
+                        )
+                    except Exception:  # fall back to the in-call start
+                        logger.exception("decode-ahead failed for %s",
+                                         paths[i])
+
             results = []
-            for p in paths:
-                try:
-                    results.append(
-                        self._segment_one(p, req, allow_output_path=False))
-                except Exception as e:  # per-video isolation
-                    if not isinstance(e, ValueError):
-                        logger.exception("segment failed for %s", p)
-                    fail()
-                    results.append({"error": f"{type(e).__name__}: {e}"})
+            try:
+                for i, p in enumerate(paths):
+                    start_pre(i + 1)
+                    try:
+                        results.append(self._segment_one(
+                            p, req, allow_output_path=False,
+                            preloaded=pres.pop(i, None)))
+                    except Exception as e:  # per-video isolation
+                        if not isinstance(e, ValueError):
+                            logger.exception("segment failed for %s", p)
+                        fail()
+                        results.append({"error": f"{type(e).__name__}: {e}"})
+            finally:
+                for pre in pres.values():  # leftovers on early exit
+                    pre[1].close()
             self._reply(200, {"results": results})
 
     return Handler

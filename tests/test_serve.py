@@ -249,6 +249,38 @@ def test_segment_batch(server, synthetic_video, tmp_path):
     assert "output_path" in data["error"]
 
 
+def test_segment_batch_pipelines_decode_ahead(server, synthetic_video,
+                                              tmp_path):
+    """With decode-ahead on (default), the batch endpoint starts video
+    i+1's host decode while video i runs; results must be identical to
+    the unpipelined path (and to each other for identical inputs)."""
+    import shutil
+
+    base, state = server
+    assert state.decode_ahead is True
+    copy = str(tmp_path / "copy.mp4")
+    shutil.copy(synthetic_video, copy)
+    status, data = _post(base + "/segment_batch", {
+        "input_paths": [synthetic_video, copy, synthetic_video],
+        "batch_size": 64})
+    assert status == 200
+    r = data["results"]
+    assert len(r) == 3 and all("segments" in x for x in r)
+    assert r[0]["segments"] == r[1]["segments"] == r[2]["segments"]
+    # Identical to a plain single /segment of the same video.
+    status, one = _post(base + "/segment", {
+        "input_path": synthetic_video, "batch_size": 64,
+        "output_path": str(tmp_path / "one.csv")})
+    assert status == 200
+    assert one["segments"] == r[0]["segments"]
+    # A bad model name with pipelined decode-ahead must not wedge the
+    # producer (ownership is closed on the validation error path).
+    status, data = _post(base + "/segment_batch", {
+        "input_paths": [synthetic_video], "model": "nope"})
+    assert status == 200
+    assert "error" in data["results"][0]
+
+
 def test_spool_ttl_sweep(server, tmp_path):
     """Expired spool files are deleted on the next upload."""
     import os
