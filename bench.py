@@ -67,6 +67,8 @@ def _retry(fn, what: str, attempts: int | None = None,
     """
     if attempts is None:
         attempts = int(os.environ.get("BENCH_RETRIES", 4))
+    attempts = max(1, attempts)  # BENCH_RETRIES=0 means "one attempt",
+    # not "raise None from an empty loop"
     backoff = [float(s) for s in os.environ.get(
         "BENCH_BACKOFF", "20,60,150").split(",")]
     last = None
@@ -259,6 +261,10 @@ def _e2e_once(clip: str, out_csv: str, precision: str,
     # Full pipeline wall clock (jit already warm from the caller).  The
     # first repeat also persists the per-frame scores (npz write of two
     # [N] vectors — negligible) for the smooth-stage timing below.
+    if scores is None and os.path.exists(cache_path):
+        # A retried first repeat must re-measure the real pipeline, not
+        # the cache hit its failed predecessor may have written.
+        os.remove(cache_path)
     t0 = time.perf_counter()
     segment_video_file(clip, out_csv, print_every=0, precision=precision,
                        decode_workers=decode_workers,
@@ -511,6 +517,11 @@ def main() -> None:
                     os.environ.get("BENCH_E2E_SUSTAINED", 30000)))
         except Exception as e:  # never break the headline line
             result["e2e"] = {"error": f"{type(e).__name__}: {e}"}
+    if degraded and "degraded" not in result:
+        # bench_e2e appends to the same list — a retried e2e fault must
+        # surface even when the headline classify ran clean.
+        result["degraded"] = {"requested": requested, "measured": precision,
+                              "failures": degraded}
     print(json.dumps(result))
 
 

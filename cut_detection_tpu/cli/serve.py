@@ -38,8 +38,11 @@ lighter-weight option when TLS terminates at a fronting proxy.
 Device work is serialized through a lock — the chip is a single-program
 resource; concurrency belongs at the batch level, not the request level.
 A queued request's HOST decode starts immediately though (decode-ahead
-into a bounded prefetch queue, ``--no-decode-ahead`` to disable), so the
-chip never idles waiting for the next request's decode.  ``/metrics``
+into a bounded prefetch queue, ``--no-decode-ahead`` to disable; only
+the next-in-line request prefetches, so host memory stays bounded at
+saturation), and ``/segment_batch`` pipelines each video's decode under
+the previous video's device time — the chip never idles waiting for the
+next decode.  ``/metrics``
 reports the resulting queue depth and wait/latency percentiles so
 operators can see saturation.
 """
@@ -271,13 +274,19 @@ def _make_handler(state: _State):
             t0 = time.time()
             with state.meta_lock:
                 state.queue_depth += 1
+                depth = state.queue_depth
             try:
                 # Start this request's host decode BEFORE waiting on the
                 # device lock: while request N holds the chip, request
                 # N+1's decode fills a bounded prefetch queue, so the
                 # chip-idle-during-decode serialization (VERDICT r2 weak
                 # #8) collapses to max(decode, device) across requests.
-                if preloaded is None and state.decode_ahead \
+                # Only the next-in-line request prefetches (depth <= 2):
+                # deeper waiters would each hold ~prefetch_batches x
+                # batch_size decoded frames plus decoder threads, making
+                # host memory scale with queue depth exactly at
+                # saturation.
+                if preloaded is None and state.decode_ahead and depth <= 2 \
                         and os.path.isfile(input_path):
                     from cut_detection_tpu.pipeline import start_decode_ahead
 
@@ -370,8 +379,7 @@ def _make_handler(state: _State):
             )
 
             precision = req.get("precision", state.precision)
-            if precision not in ("float32", "bfloat16", "bfloat16_full",
-                                 "uint8_pool"):
+            if precision not in PRECISION_CHOICES:
                 self._reply(400, {"error": f"unknown precision "
                                            f"{precision!r}"})
                 return
@@ -458,7 +466,10 @@ def _make_handler(state: _State):
             pres: dict = {}
 
             def start_pre(i: int) -> None:
-                if (state.decode_ahead and 0 <= i < len(paths)
+                # Same saturation guard as _segment_one: don't pipeline
+                # ahead when other requests are already queued.
+                if (state.decode_ahead and state.queue_depth < 2
+                        and 0 <= i < len(paths)
                         and isinstance(paths[i], str)
                         and os.path.isfile(paths[i])):
                     from cut_detection_tpu.pipeline import start_decode_ahead

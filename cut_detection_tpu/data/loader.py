@@ -79,6 +79,7 @@ class PrefetchLoader:
         self._stop = threading.Event()
         self._q: queue.Queue | None = None
         self._error: list[BaseException] = []
+        self._consumed = False
 
     def close(self) -> None:
         """Stop the producer thread (for consumers that break early —
@@ -127,8 +128,19 @@ class PrefetchLoader:
         return self
 
     def __iter__(self):
+        # NOT a generator: the single-use check must fire at iter()
+        # time, not at the first next() (a generator body is deferred).
+        if self._consumed:
+            # Single-use by design (start() binds one producer to one
+            # queue); a second pass would block forever on an empty
+            # queue whose sentinel was already taken — fail loudly.
+            raise RuntimeError("PrefetchLoader is single-use; construct "
+                               "a new one to iterate again")
+        self._consumed = True
         self.start()
-        q = self._q
+        return self._drain(self._q)
+
+    def _drain(self, q):
         try:
             while True:
                 item = q.get()

@@ -177,3 +177,34 @@ def test_main_total_failure_still_emits_json(monkeypatch, capsys):
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] is None
     assert len(payload["degraded"]) == 4  # one per ladder rung
+
+
+def test_retry_with_zero_attempts_still_runs_once(monkeypatch):
+    """BENCH_RETRIES=0 means one attempt, not `raise None` from an
+    empty loop."""
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    assert bench._retry(lambda: 42, "x", attempts=0) == 42
+    with pytest.raises(RuntimeError, match="boom"):
+        bench._retry(lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+                     "x", attempts=0)
+
+
+def test_e2e_fault_surfaces_in_degraded_even_with_clean_headline(
+        monkeypatch, capsys):
+    """A retried e2e failure must appear in the JSON degraded field even
+    when the headline classify measured with zero failures."""
+    monkeypatch.setenv("BENCH_E2E", "1")
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    monkeypatch.setattr(bench, "bench_ours", lambda *a, **k: 120000.0)
+    monkeypatch.setattr(bench, "bench_reference", lambda *a, **k: 40.0)
+
+    def fake_e2e(precision, *, degraded, **k):
+        degraded.append({"stage": "e2e-warmup", "attempt": 1,
+                         "error": "FAILED_PRECONDITION: relay"})
+        return {"frames": 1}
+
+    monkeypatch.setattr(bench, "bench_e2e", fake_e2e)
+    bench.main()
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] == 120000.0
+    assert payload["degraded"]["failures"][0]["stage"] == "e2e-warmup"

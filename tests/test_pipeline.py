@@ -190,6 +190,17 @@ def test_prefetch_loader_close_stops_producer():
     assert threading.active_count() < 50
 
 
+def test_prefetch_loader_is_single_use():
+    """A second __iter__ raises instead of blocking forever on the
+    already-drained queue (start() binds one producer to one queue)."""
+    from cut_detection_tpu.data.loader import PrefetchLoader
+
+    loader = PrefetchLoader(iter([1, 2, 3]), depth=2)
+    assert [x for x in loader] == [1, 2, 3]
+    with pytest.raises(RuntimeError, match="single-use"):
+        iter(loader)
+
+
 def test_parallel_decode_matches_sequential(synthetic_video):
     from cut_detection_tpu.data.video import (
         ParallelVideoReader,

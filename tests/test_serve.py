@@ -281,6 +281,19 @@ def test_segment_batch_pipelines_decode_ahead(server, synthetic_video,
     assert "error" in data["results"][0]
 
 
+def test_reload_accepts_every_precision_choice(server):
+    """/reload validates precision against config.PRECISION_CHOICES —
+    a server started with --precision uint8_chain must be able to
+    hot-swap (the round-3 rung was missing from a hardcoded list)."""
+    base, _ = server
+    status, data = _post(base + "/reload", {"precision": "uint8_chain"})
+    assert status == 200, data
+    status, data = _post(base + "/reload", {"precision": "float32"})
+    assert status == 200, data
+    status, data = _post(base + "/reload", {"precision": "nope"})
+    assert status == 400
+
+
 def test_spool_ttl_sweep(server, tmp_path):
     """Expired spool files are deleted on the next upload."""
     import os
