@@ -392,10 +392,28 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
             truncated = True
             _log("e2e: skipping sustained run (budget)")
     classify_s = (n_dec / classify_fps) if classify_fps else float("inf")
-    serial_s = (med["decode_s"] + med["transfer_s"] + classify_s
-                + (med["smooth_ms"] + med["csv_ms"]) / 1e3)
-    bound_s = max(med["decode_s"], med["transfer_s"], classify_s,
-                  (med["smooth_ms"] + med["csv_ms"]) / 1e3)
+
+    # Overlap accounting.  The shared 1-core host drifts ~2x run-to-run
+    # (docs/PERFORMANCE.md), so stage timings are only comparable WITHIN
+    # a repeat — a cross-repeat median mixes e.g. one repeat's fast
+    # pipeline pass with another's slow standalone decode pass and can
+    # produce an impossible efficiency > 1.  Report per-repeat
+    # efficiencies, plus a conservative aggregate built from the
+    # BEST-observed stage times (a lower bound on true serial time, so
+    # the aggregate UNDERSTATES overlap rather than overstating it).
+    tail_s = (med["smooth_ms"] + med["csv_ms"]) / 1e3
+
+    def _eff(dec, tra, e2e):
+        serial = dec + tra + classify_s + tail_s
+        bound = max(dec, tra, classify_s, tail_s)
+        return round((serial - e2e) / max(serial - bound, 1e-9), 3)
+
+    per_repeat_eff = [_eff(r["decode_s"], r["transfer_s"], r["e2e_s"])
+                      for r in runs]
+    best_dec = min(r["decode_s"] for r in runs)
+    best_tra = min(r["transfer_s"] for r in runs)
+    serial_s = best_dec + best_tra + classify_s + tail_s
+    bound_s = max(best_dec, best_tra, classify_s, tail_s)
 
     # v5e-8 projection (BASELINE.md north star: <2 min per 3h game).
     # Assumptions, stated so the number is checkable: (1) classify scales
@@ -424,11 +442,19 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
         },
         "overlap": {
             "e2e_s": round(med["e2e_s"], 3),
+            # Conservative aggregate: serial/bound from the BEST-observed
+            # stage times across repeats, vs the MEDIAN pipelined e2e —
+            # understates overlap under host drift, never overstates it.
             "serial_sum_s": round(serial_s, 3),
             "max_stage_s": round(bound_s, 3),
             # 1.0 = perfect overlap (e2e == max stage); 0.0 = fully serial.
             "efficiency": round((serial_s - med["e2e_s"])
                                 / max(serial_s - bound_s, 1e-9), 3),
+            # Each repeat's own internally-consistent efficiency; a value
+            # > 1 means the host ran slower during that repeat's
+            # standalone stage pass than during its pipeline pass (the
+            # shared 1-core host drifts ~2x), not super-unitary overlap.
+            "per_repeat_efficiency": per_repeat_eff,
         },
         "projection_v5e8": {
             "assumptions": ("8x classify scaling over chips; 8 decode "

@@ -79,7 +79,13 @@ def test_bench_e2e_real_tiny(monkeypatch, tmp_path):
     for k in ("e2e_fps", "decode_fps", "transfer_fps", "classify_fps"):
         assert res["median"][k] > 0
     assert set(res["overlap"]) == {"e2e_s", "serial_sum_s", "max_stage_s",
-                                   "efficiency"}
+                                   "efficiency", "per_repeat_efficiency"}
+    assert len(res["overlap"]["per_repeat_efficiency"]) == len(res["repeats"])
+    # The aggregate uses best-observed stage times vs median e2e: with
+    # consistent stage rates it can't exceed a per-repeat ceiling by
+    # construction (serial from minima is a lower bound on serial time).
+    assert res["overlap"]["serial_sum_s"] <= min(
+        r["decode_s"] + r["transfer_s"] for r in res["repeats"]) + 1.0
     assert res["sustained"]["frames"] == 384
     assert res["sustained"]["e2e_fps"] > 0
     proj = res["projection_v5e8"]
