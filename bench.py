@@ -410,6 +410,10 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
 
     per_repeat_eff = [_eff(r["decode_s"], r["transfer_s"], r["e2e_s"])
                       for r in runs]
+    # Diagnostic serial/bound from the best-observed stage times (lower
+    # bounds on true serial time); the headline efficiency is the MEDIAN
+    # of the per-repeat values — any cross-repeat pairing (even
+    # best-stage vs median-e2e) can go negative or >1 under drift.
     best_dec = min(r["decode_s"] for r in runs)
     best_tra = min(r["transfer_s"] for r in runs)
     serial_s = best_dec + best_tra + classify_s + tail_s
@@ -442,14 +446,15 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
         },
         "overlap": {
             "e2e_s": round(med["e2e_s"], 3),
-            # Conservative aggregate: serial/bound from the BEST-observed
-            # stage times across repeats, vs the MEDIAN pipelined e2e —
-            # understates overlap under host drift, never overstates it.
+            # Diagnostic lower bounds from the BEST-observed stage times
+            # across repeats (true serial time is at least serial_sum_s).
             "serial_sum_s": round(serial_s, 3),
             "max_stage_s": round(bound_s, 3),
-            # 1.0 = perfect overlap (e2e == max stage); 0.0 = fully serial.
-            "efficiency": round((serial_s - med["e2e_s"])
-                                / max(serial_s - bound_s, 1e-9), 3),
+            # 1.0 = perfect overlap (e2e == max stage); 0.0 = fully
+            # serial.  The headline is the MEDIAN of the per-repeat
+            # efficiencies — stage timings are only comparable WITHIN a
+            # repeat on this ~2x-drifting shared host.
+            "efficiency": round(float(np.median(per_repeat_eff)), 3),
             # Each repeat's own internally-consistent efficiency; a value
             # > 1 means the host ran slower during that repeat's
             # standalone stage pass than during its pipeline pass (the

@@ -133,3 +133,56 @@ def test_trained_triplet_segments_video(trained_model_dir, tmp_path):
     scores = evaluate(out, truth, num_frames=120, tolerance=5)
     assert scores["frame_accuracy"] > 0.9
     assert scores["boundary_recall"] == 1.0
+
+
+def test_warm_start_from_contrastive_pretrain(trained_model_dir, tmp_path):
+    """The reference's full training workflow: SimCLR pretrain of the
+    conv backbone, then supervised training warm-started from it via
+    --load-conv-net (supervised_training.py:105-110 contract: the conv
+    npz the contrastive CLI saves is exactly what the supervised CLI
+    loads).  Run the supervised pass with lr=0 so the saved conv params
+    must equal the pretrained ones bit-for-bit — proving the warm start
+    actually flowed into the train state rather than being re-inited."""
+    model_dir, _ = trained_model_dir
+    data_dir = os.path.join(os.path.dirname(model_dir), "frames")
+
+    from cut_detection_tpu.cli.train_contrastive import main as tc_main
+    from cut_detection_tpu.cli.train_supervised import main as ts_main
+
+    wdir = str(tmp_path / "warm")
+    tc_main(["--cpu", "--data-dir", data_dir, "--conv-hidden-channels", "8",
+             "--conv-layers", "2", "--linear-size", "8",
+             "--output-size", "4", "--batch-size", "8", "--epochs", "1",
+             "--write-every-n", "100", "--model-dir", wdir,
+             "--model-name", "pre", "--num-workers", "0"])
+
+    from cut_detection_tpu.checkpoint.io import load_bundle
+
+    pre_conv = load_bundle(os.path.join(wdir, "pre_conv.npz"))
+    pre_kernels = [np.asarray(p["kernel"]) for p in pre_conv["params"]]
+
+    # Supervised training over the SAME model-dir/name (the reference
+    # reads and writes the same location); lr=0 + wd=0 freezes params.
+    ts_main(["--cpu", "--data-dirs", data_dir, "--conv-hidden-channels",
+             "8", "--conv-layers", "2", "--avg-pool-size", "2",
+             "--linear-size", "8", "--batch-size", "16", "--epochs", "1",
+             "--learning-rate", "0", "--weight-decay", "0",
+             "--write-every-n", "100", "--model-dir", wdir,
+             "--model-name", "pre", "--load-conv-net",
+             "--checkpoint-every-n", "0", "--num-workers", "0"])
+
+    post_conv = load_bundle(os.path.join(wdir, "pre_conv.npz"))
+    post_kernels = [np.asarray(p["kernel"]) for p in post_conv["params"]]
+    assert len(pre_kernels) == len(post_kernels)
+    for a, b in zip(pre_kernels, post_kernels):
+        np.testing.assert_array_equal(a, b)
+
+    # And the warm-started triplet is loadable for inference.
+    from cut_detection_tpu.models.assembly import load_triplet_or_default
+
+    net, _ = load_triplet_or_default(wdir, "pre")
+    rng = np.random.default_rng(0)
+    x = rng.random((4, 72, 96, 3), dtype=np.float32)
+    logits = np.asarray(net(x))
+    assert logits.shape == (4, 3)
+    assert np.isfinite(logits).all()
