@@ -53,6 +53,24 @@ def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# Error-text markers of faults that can clear on their own (the axon
+# relay wraps them in several exception types, so match on text).  A
+# wedged tunnel clears in minutes; everything else is assumed
+# deterministic and fails fast (BENCH_RETRY_ALL=1 restores blind
+# retries for debugging an unrecognized transient).
+_TRANSIENT_MARKERS = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE",
+                      "INTERNAL", "RESOURCE_EXHAUSTED", "ABORTED",
+                      "TPU backend", "socket", "connection", "timed out",
+                      "timeout", "Unable to initialize backend")
+
+
+def _is_transient(msg: str) -> bool:
+    if os.environ.get("BENCH_RETRY_ALL") == "1":
+        return True
+    low = msg.lower()
+    return any(m.lower() in low for m in _TRANSIENT_MARKERS)
+
+
 def _retry(fn, what: str, attempts: int | None = None,
            record: list | None = None):
     """Run ``fn()`` with bounded retries + backoff on any exception.
@@ -83,6 +101,12 @@ def _retry(fn, what: str, attempts: int | None = None,
                 record.append({"stage": what, "attempt": i + 1,
                                "error": msg[:300]})
             if i + 1 >= attempts:
+                break
+            if not _is_transient(msg):
+                # Deterministic failures (bad checkpoint, coding error,
+                # shape mismatch) can never clear — don't burn the run
+                # budget sleeping on them; let the ladder fall back now.
+                _log(f"{what}: error looks deterministic, not retrying")
                 break
             delay = backoff[min(i, len(backoff) - 1)]
             if _remaining() < delay + 30:
@@ -403,13 +427,19 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
     # the aggregate UNDERSTATES overlap rather than overstating it).
     tail_s = (med["smooth_ms"] + med["csv_ms"]) / 1e3
 
-    def _eff(dec, tra, e2e):
-        serial = dec + tra + classify_s + tail_s
-        bound = max(dec, tra, classify_s, tail_s)
+    # classify_s comes from the separate headline measurement rather
+    # than this repeat's window, but at >100k fps it is <0.1 s against
+    # 20-60 s stages (<0.5% of any term), so cross-window drift on it
+    # cannot distort the efficiency; smooth/csv are each repeat's own.
+    def _eff(dec, tra, e2e, tail):
+        serial = dec + tra + classify_s + tail
+        bound = max(dec, tra, classify_s, tail)
         return round((serial - e2e) / max(serial - bound, 1e-9), 3)
 
-    per_repeat_eff = [_eff(r["decode_s"], r["transfer_s"], r["e2e_s"])
-                      for r in runs]
+    per_repeat_eff = [
+        _eff(r["decode_s"], r["transfer_s"], r["e2e_s"],
+             (r["smooth_ms"] + r["csv_ms"]) / 1e3)
+        for r in runs]
     # Diagnostic serial/bound from the best-observed stage times (lower
     # bounds on true serial time); the headline efficiency is the MEDIAN
     # of the per-repeat values — any cross-repeat pairing (even
@@ -510,10 +540,13 @@ def main() -> None:
                  "falling back down the precision ladder")
     if ours is None:
         # Nothing measured at all: emit a diagnostic line, exit non-zero.
+        # Same {requested, measured, failures} shape as the partial-
+        # degradation case so consumers parse one schema.
         print(json.dumps({
             "metric": "frames/sec/chip, 256x144 uint8 -> classify",
             "value": None, "unit": "frames/sec", "vs_baseline": None,
-            "degraded": degraded,
+            "degraded": {"requested": requested, "measured": None,
+                         "failures": degraded},
         }))
         sys.exit(1)
 

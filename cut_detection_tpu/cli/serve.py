@@ -38,11 +38,13 @@ lighter-weight option when TLS terminates at a fronting proxy.
 Device work is serialized through a lock — the chip is a single-program
 resource; concurrency belongs at the batch level, not the request level.
 A queued request's HOST decode starts immediately though (decode-ahead
-into a bounded prefetch queue, ``--no-decode-ahead`` to disable; only
-the next-in-line request prefetches, so host memory stays bounded at
-saturation), and ``/segment_batch`` pipelines each video's decode under
-the previous video's device time — the chip never idles waiting for the
-next decode.  ``/metrics``
+into a bounded prefetch queue, ``--no-decode-ahead`` to disable).
+Prefetch SLOTS bound host memory: at most 2 decode pipelines exist at
+once regardless of queue depth, and waiters re-try claiming a slot
+while queued on the device lock, so the next request in line starts
+decoding the moment a slot frees.  ``/segment_batch`` additionally
+pipelines each video's decode under the previous video's device time —
+the chip never idles waiting for the next decode.  ``/metrics``
 reports the resulting queue depth and wait/latency percentiles so
 operators can see saturation.
 """
@@ -130,6 +132,15 @@ class _State:
         self.spool_ttl_s = 24 * 3600.0
         self.auth_token = None
         self.decode_ahead = True
+        # Decode-ahead slot accounting: at most this many prefetch
+        # pipelines alive at once, so host memory stays bounded at
+        # ~slots x prefetch_batches x batch_size frames no matter how
+        # deep the request queue gets.  Waiters re-try claiming a slot
+        # while queued on the device lock, so the next-in-line request
+        # starts its decode as soon as a slot frees (not only if it
+        # happened to arrive when the queue was short).
+        self.prefetch_slots = 2
+        self.active_prefetch = 0
         self.nets = {}  # name -> GluedNet ("default" = self.net)
 
     def sweep_spool(self) -> int:
@@ -180,6 +191,51 @@ class _State:
                 "latency_p95_s": pct(self.latency_s, 0.95),
                 "precision": self.precision,
             }
+
+
+def _try_prefetch(state: _State, input_path: str, batch_size: int,
+                  decode_workers: int):
+    """Claim a prefetch slot and start decode-ahead; None if slots full.
+
+    The slot is released exactly once, when the returned handle's loader
+    closes — which happens automatically when ``classify_video`` drains
+    the batches (so the slot frees as soon as the decoded frames are
+    consumed, not when the whole request finishes) or explicitly via the
+    owner's ``preloaded[1].close()`` on error paths.
+    """
+    if not (state.decode_ahead and os.path.isfile(input_path)):
+        return None
+    with state.meta_lock:
+        if state.active_prefetch >= state.prefetch_slots:
+            return None
+        state.active_prefetch += 1
+
+    released = [False]
+
+    def release() -> None:
+        with state.meta_lock:
+            if not released[0]:
+                released[0] = True
+                state.active_prefetch -= 1
+
+    try:
+        from cut_detection_tpu.pipeline import start_decode_ahead
+
+        handle = start_decode_ahead(input_path, batch_size=batch_size,
+                                    decode_workers=decode_workers)
+    except Exception:
+        release()
+        logger.exception("decode-ahead failed for %s", input_path)
+        return None
+    loader = handle[1]
+    orig_close = loader.close
+
+    def close_once() -> None:
+        release()
+        orig_close()
+
+    loader.close = close_once
+    return handle
 
 
 def _make_handler(state: _State):
@@ -274,32 +330,32 @@ def _make_handler(state: _State):
             t0 = time.time()
             with state.meta_lock:
                 state.queue_depth += 1
-                depth = state.queue_depth
             try:
                 # Start this request's host decode BEFORE waiting on the
                 # device lock: while request N holds the chip, request
                 # N+1's decode fills a bounded prefetch queue, so the
                 # chip-idle-during-decode serialization (VERDICT r2 weak
                 # #8) collapses to max(decode, device) across requests.
-                # Only the next-in-line request prefetches (depth <= 2):
-                # deeper waiters would each hold ~prefetch_batches x
-                # batch_size decoded frames plus decoder threads, making
-                # host memory scale with queue depth exactly at
-                # saturation.
-                if preloaded is None and state.decode_ahead and depth <= 2 \
-                        and os.path.isfile(input_path):
-                    from cut_detection_tpu.pipeline import start_decode_ahead
-
-                    preloaded = start_decode_ahead(
-                        input_path,
-                        batch_size=kwargs.get("batch_size", 128),
-                        decode_workers=kwargs.get("decode_workers", 1),
-                    )
-                with state.lock:
+                # Prefetch slots (not queue position) bound host memory:
+                # at most state.prefetch_slots pipelines exist at once,
+                # and a queued request keeps re-trying to claim a slot
+                # while waiting on the device lock — so the next request
+                # in line starts decoding as soon as a slot frees, even
+                # at saturation depth.
+                bs = kwargs.get("batch_size", 128)
+                dw = kwargs.get("decode_workers", 1)
+                if preloaded is None:
+                    preloaded = _try_prefetch(state, input_path, bs, dw)
+                while not state.lock.acquire(timeout=0.2):
+                    if preloaded is None:
+                        preloaded = _try_prefetch(state, input_path, bs, dw)
+                try:
                     t1 = time.time()
                     out, seg, stats = segment_video_file(
                         input_path, output_path, net=net,
                         print_every=0, preloaded=preloaded, **kwargs)
+                finally:
+                    state.lock.release()
             finally:
                 if preloaded is not None:
                     preloaded[1].close()
@@ -466,23 +522,16 @@ def _make_handler(state: _State):
             pres: dict = {}
 
             def start_pre(i: int) -> None:
-                # Same saturation guard as _segment_one: don't pipeline
-                # ahead when other requests are already queued.
-                if (state.decode_ahead and state.queue_depth < 2
-                        and 0 <= i < len(paths)
-                        and isinstance(paths[i], str)
-                        and os.path.isfile(paths[i])):
-                    from cut_detection_tpu.pipeline import start_decode_ahead
-
-                    try:
-                        pres[i] = start_decode_ahead(
-                            paths[i],
-                            batch_size=req.get("batch_size", 128),
-                            decode_workers=req.get("decode_workers", 1),
-                        )
-                    except Exception:  # fall back to the in-call start
-                        logger.exception("decode-ahead failed for %s",
-                                         paths[i])
+                # Same slot accounting as _segment_one — a prefetch only
+                # starts when one of the bounded slots is free, so batch
+                # pipelining never stacks decode pipelines at saturation.
+                if (0 <= i < len(paths) and isinstance(paths[i], str)):
+                    handle = _try_prefetch(
+                        state, paths[i],
+                        batch_size=req.get("batch_size", 128),
+                        decode_workers=req.get("decode_workers", 1))
+                    if handle is not None:
+                        pres[i] = handle
 
             results = []
             try:

@@ -27,6 +27,7 @@ import dataclasses
 import functools
 import logging
 import os
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +143,19 @@ def _make_source(input_path: str, *, resize: int | None,
     return VideoFrameSource(input_path, resize=resize)
 
 
+class PreloadedDecode(typing.NamedTuple):
+    """Handle returned by :func:`start_decode_ahead`.
+
+    Tuple-compatible with the original ``(source, loader)`` shape
+    (``preloaded[1].close()`` keeps working) while carrying the decode
+    parameters so consumers can validate against their own.
+    """
+    source: object
+    loader: object
+    batch_size: int = 128
+    resize: int = 256
+
+
 def start_decode_ahead(
     input_path: str,
     *,
@@ -160,6 +174,10 @@ def start_decode_ahead(
     previous request's device compute.  Pass the returned handle as
     ``classify_video(..., preloaded=...)`` / ``segment_video_file(...,
     preloaded=...)``; on error paths call ``preloaded[1].close()``.
+
+    The handle records ``batch_size``/``resize``; ``classify_video``
+    validates them against its own arguments (its ``frame_limit`` break
+    math assumes the batch size the batches were actually built with).
     """
     from cut_detection_tpu.data.loader import PrefetchLoader
 
@@ -169,7 +187,7 @@ def start_decode_ahead(
                           decoder=decoder)
     loader = PrefetchLoader(batch_frames(source, batch_size),
                             depth=prefetch_batches).start()
-    return source, loader
+    return PreloadedDecode(source, loader, batch_size, resize)
 
 
 def classify_video(
@@ -213,11 +231,23 @@ def classify_video(
 
     on_device_preprocess = device_resize or pallas_preprocess
     if preloaded is not None:
-        source, preloaded_batches = preloaded
+        source, preloaded_batches = preloaded[0], preloaded[1]
         if on_device_preprocess:
             raise ValueError(
                 "preloaded decode can't combine with on-device preprocess "
                 "(frames were already resized on the host)")
+        # The frame_limit break math below assumes the batch size the
+        # preloaded batches were actually built with; a silent mismatch
+        # would over/under-consume frames (PreloadedDecode carries the
+        # parameters for exactly this check).
+        pre_bs = getattr(preloaded, "batch_size", batch_size)
+        pre_rs = getattr(preloaded, "resize", resize)
+        if pre_bs != batch_size or pre_rs != resize:
+            preloaded[1].close()
+            raise ValueError(
+                f"preloaded decode was built with batch_size={pre_bs}, "
+                f"resize={pre_rs} but classify_video was called with "
+                f"batch_size={batch_size}, resize={resize}")
     else:
         source = _make_source(
             input_path,

@@ -117,7 +117,7 @@ def test_retry_exhausts_and_raises(monkeypatch):
     record = []
 
     def always_fail():
-        raise RuntimeError("boom")
+        raise RuntimeError("UNAVAILABLE: boom")
 
     with pytest.raises(RuntimeError):
         bench._retry(always_fail, "x", attempts=3, record=record)
@@ -182,7 +182,10 @@ def test_main_total_failure_still_emits_json(monkeypatch, capsys):
     assert ei.value.code == 1
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] is None
-    assert len(payload["degraded"]) == 4  # one per ladder rung
+    # Same schema as partial degradation: {requested, measured, failures}.
+    assert payload["degraded"]["requested"] == "uint8_chain"
+    assert payload["degraded"]["measured"] is None
+    assert len(payload["degraded"]["failures"]) == 4  # one per ladder rung
 
 
 def test_retry_with_zero_attempts_still_runs_once(monkeypatch):
@@ -214,3 +217,33 @@ def test_e2e_fault_surfaces_in_degraded_even_with_clean_headline(
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] == 120000.0
     assert payload["degraded"]["failures"][0]["stage"] == "e2e-warmup"
+
+
+def test_retry_fails_fast_on_deterministic_error(monkeypatch):
+    """Errors with no transient marker (bad checkpoint, shape mismatch)
+    must not burn the backoff budget — one attempt, then the ladder
+    falls back."""
+    monkeypatch.setenv("BENCH_BACKOFF", "9999")  # would hang if slept
+    record = []
+    calls = {"n": 0}
+
+    def broken():
+        calls["n"] += 1
+        raise ValueError("shape mismatch: got (3,) want (4,)")
+
+    with pytest.raises(ValueError):
+        bench._retry(broken, "x", attempts=4, record=record)
+    assert calls["n"] == 1
+    assert len(record) == 1
+
+    # Transient markers still retry (immediately, with zero backoff).
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    calls["n"] = 0
+
+    def wedged():
+        calls["n"] += 1
+        raise RuntimeError("UNAVAILABLE: relay wedged")
+
+    with pytest.raises(RuntimeError):
+        bench._retry(wedged, "x", attempts=3)
+    assert calls["n"] == 3

@@ -504,3 +504,32 @@ def test_default_output_naming(synthetic_video):
     assert out == os.path.splitext(synthetic_video)[0] + "_segments.csv"
     assert os.path.isfile(out)
     assert len(seg) >= 1
+
+
+def test_decode_ahead_mismatched_params_rejected(synthetic_video):
+    """PreloadedDecode carries the batch_size/resize it was built with;
+    classify_video refuses a mismatched handle (its frame_limit break
+    math assumes the handle's batch size) and closes the loader."""
+    from cut_detection_tpu.pipeline import start_decode_ahead
+
+    pre = start_decode_ahead(synthetic_video, batch_size=32)
+    with pytest.raises(ValueError, match="batch_size=32"):
+        classify_video(synthetic_video, batch_size=64, print_every=0,
+                       preloaded=pre)
+    assert pre[1]._stop.is_set()  # rejecting call closed the producer
+
+
+def test_decode_ahead_legacy_tuple_accepted(synthetic_video):
+    """A plain (source, loader) 2-tuple (the pre-PreloadedDecode handle
+    shape) still works — validation only applies when the handle carries
+    its parameters."""
+    from cut_detection_tpu.pipeline import start_decode_ahead
+
+    pre = start_decode_ahead(synthetic_video, batch_size=32)
+    try:
+        a = classify_video(synthetic_video, batch_size=32, print_every=0,
+                           preloaded=(pre[0], pre[1]))
+    finally:
+        pre[1].close()
+    b = classify_video(synthetic_video, batch_size=32, print_every=0)
+    np.testing.assert_array_equal(a[1], b[1])

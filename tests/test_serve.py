@@ -599,3 +599,53 @@ def test_segment_threshold_passthrough(server, synthetic_video, tmp_path):
         int(s) for s in seg.te["start_frames"]]
     with open(out_direct, "rb") as a, open(out_served, "rb") as b:
         assert a.read() == b.read()
+
+
+def test_prefetch_slot_accounting(synthetic_video):
+    """Decode-ahead is bounded by slots, not queue position: claims up
+    to ``prefetch_slots`` pipelines, refuses beyond, and a slot frees
+    exactly once when the handle's loader closes (so a waiter can claim
+    it immediately)."""
+    from cut_detection_tpu.cli.serve import _State, _try_prefetch
+
+    state = _State()
+    state.prefetch_slots = 1
+
+    h1 = _try_prefetch(state, synthetic_video, 32, 1)
+    assert h1 is not None
+    assert state.active_prefetch == 1
+    # Slots full: second claim refused regardless of queue depth.
+    assert _try_prefetch(state, synthetic_video, 32, 1) is None
+
+    h1[1].close()
+    assert state.active_prefetch == 0
+    h1[1].close()  # idempotent: the slot is released exactly once
+    assert state.active_prefetch == 0
+
+    # Freed slot is claimable again.
+    h2 = _try_prefetch(state, synthetic_video, 32, 1)
+    assert h2 is not None and state.active_prefetch == 1
+    h2[1].close()
+    assert state.active_prefetch == 0
+
+    # Gates: disabled decode-ahead and missing files never claim a slot.
+    state.decode_ahead = False
+    assert _try_prefetch(state, synthetic_video, 32, 1) is None
+    state.decode_ahead = True
+    assert _try_prefetch(state, "/nonexistent.mp4", 32, 1) is None
+    assert state.active_prefetch == 0
+
+
+def test_prefetch_slot_released_on_drain(synthetic_video, tmp_path):
+    """Draining the preloaded batches through classify_video releases
+    the slot (the loader closes itself at end of iteration), so the slot
+    frees when frames are consumed — not when the request finishes."""
+    from cut_detection_tpu.cli.serve import _State, _try_prefetch
+    from cut_detection_tpu.pipeline import classify_video
+
+    state = _State()
+    h = _try_prefetch(state, synthetic_video, 32, 1)
+    assert h is not None and state.active_prefetch == 1
+    classify_video(synthetic_video, batch_size=32, print_every=0,
+                   preloaded=h)
+    assert state.active_prefetch == 0
