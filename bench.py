@@ -64,6 +64,11 @@ _TRANSIENT_MARKERS = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE",
                       "timeout", "Unable to initialize backend")
 
 
+# Cumulative seconds slept in retry backoff across the whole run (the
+# per-run cap lives in _retry; a list so tests can reset it).
+_SLEPT = [0.0]
+
+
 def _is_transient(msg: str) -> bool:
     if os.environ.get("BENCH_RETRY_ALL") == "1":
         return True
@@ -87,8 +92,15 @@ def _retry(fn, what: str, attempts: int | None = None,
         attempts = int(os.environ.get("BENCH_RETRIES", 4))
     attempts = max(1, attempts)  # BENCH_RETRIES=0 means "one attempt",
     # not "raise None from an empty loop"
-    backoff = [float(s) for s in os.environ.get(
-        "BENCH_BACKOFF", "20,60,150").split(",")]
+    # A malformed BENCH_BACKOFF must not crash the crash-proof bench
+    # before the first attempt; fall back to the default schedule.
+    try:
+        backoff = [float(s) for s in os.environ.get(
+            "BENCH_BACKOFF", "20,60,150").split(",") if s.strip()]
+    except ValueError:
+        backoff = []
+    if not backoff:
+        backoff = [20.0, 60.0, 150.0]
     last = None
     for i in range(attempts):
         try:
@@ -112,7 +124,20 @@ def _retry(fn, what: str, attempts: int | None = None,
             if _remaining() < delay + 30:
                 _log(f"{what}: budget exhausted, abandoning retries")
                 break
+            # The transient markers are deliberately broad (the relay
+            # wraps faults in many shapes), so a deterministic error
+            # that happens to match one could otherwise burn the whole
+            # run sleeping, rung after rung.  Cap cumulative retry sleep
+            # at a quarter of the budget: a genuinely wedged tunnel gets
+            # a full backoff ride, a misclassified permanent failure
+            # can't squeeze out the e2e block.
+            cap = 0.25 * _budget()
+            if _SLEPT[0] + delay > cap:
+                _log(f"{what}: cumulative retry sleep would exceed "
+                     f"{cap:.0f}s cap, abandoning retries")
+                break
             time.sleep(delay)
+            _SLEPT[0] += delay
     raise last
 
 
@@ -262,25 +287,35 @@ def _e2e_once(clip: str, out_csv: str, precision: str,
     from cut_detection_tpu.pipeline import segment_video_file
     from cut_detection_tpu.segmentation.rle import Segmentation
 
-    # Stage: decode only (collect the batches for the transfer stage).
-    src = ParallelVideoReader(clip, resize=256, num_threads=decode_workers)
-    t0 = time.perf_counter()
-    batches = [b for b, _ in batch_frames(src, 128)]
-    decode_s = time.perf_counter() - t0
-    n_dec = src.length - src.frames_failed
+    # Stages: decode and host->device transfer, timed disjointly but
+    # interleaved in bounded chunks so host RAM stays ~chunk-sized (a
+    # 10k-frame clip fully materialized is ~1.1 GB each side — enough
+    # to OOM a small TPU-VM host).  Each chunk's transfer ends with a
+    # tiny on-device reduction FETCH: through the axon relay
+    # block_until_ready returns early, so only a value fetch proves the
+    # uploads completed — and per-chunk fetching also keeps the next
+    # chunk's decode time from absorbing in-flight transfer time.
+    import itertools
 
-    # Stage: host->device transfer of those uint8 batches.  A tiny
-    # on-device reduction chained across all uploads is fetched once at
-    # the end: through the axon relay block_until_ready returns early,
-    # so only a value fetch proves every transfer completed.
-    t0 = time.perf_counter()
-    devs = [jax.device_put(b) for b in batches]
-    total = jnp.int32(0)
-    for d in devs:
-        total = total + jnp.sum(d[0, 0, :].astype(jnp.int32))
-    int(total)
-    transfer_s = time.perf_counter() - t0
-    del devs, batches
+    chunk_batches = int(os.environ.get("BENCH_E2E_CHUNK_BATCHES", 8))
+    src = ParallelVideoReader(clip, resize=256, num_threads=decode_workers)
+    it = iter(batch_frames(src, 128))
+    decode_s = transfer_s = 0.0
+    while True:
+        t0 = time.perf_counter()
+        chunk = [b for b, _ in itertools.islice(it, chunk_batches)]
+        decode_s += time.perf_counter() - t0
+        if not chunk:
+            break
+        t0 = time.perf_counter()
+        devs = [jax.device_put(b) for b in chunk]
+        total = jnp.int32(0)
+        for d in devs:
+            total = total + jnp.sum(d[0, 0, :].astype(jnp.int32))
+        int(total)
+        transfer_s += time.perf_counter() - t0
+        del devs, chunk
+    n_dec = src.length - src.frames_failed
 
     # Full pipeline wall clock (jit already warm from the caller).  The
     # first repeat also persists the per-frame scores (npz write of two

@@ -197,11 +197,11 @@ def _try_prefetch(state: _State, input_path: str, batch_size: int,
                   decode_workers: int):
     """Claim a prefetch slot and start decode-ahead; None if slots full.
 
-    The slot is released exactly once, when the returned handle's loader
-    closes — which happens automatically when ``classify_video`` drains
+    The slot is released exactly once, through the loader's ``on_close``
+    callback — which fires automatically when ``classify_video`` drains
     the batches (so the slot frees as soon as the decoded frames are
-    consumed, not when the whole request finishes) or explicitly via the
-    owner's ``preloaded[1].close()`` on error paths.
+    consumed, not when the whole request finishes) or via the owner's
+    ``preloaded[1].close()`` on error paths.
     """
     if not (state.decode_ahead and os.path.isfile(input_path)):
         return None
@@ -221,21 +221,13 @@ def _try_prefetch(state: _State, input_path: str, batch_size: int,
     try:
         from cut_detection_tpu.pipeline import start_decode_ahead
 
-        handle = start_decode_ahead(input_path, batch_size=batch_size,
-                                    decode_workers=decode_workers)
+        return start_decode_ahead(input_path, batch_size=batch_size,
+                                  decode_workers=decode_workers,
+                                  on_close=release)
     except Exception:
         release()
         logger.exception("decode-ahead failed for %s", input_path)
         return None
-    loader = handle[1]
-    orig_close = loader.close
-
-    def close_once() -> None:
-        release()
-        orig_close()
-
-    loader.close = close_once
-    return handle
 
 
 def _make_handler(state: _State):

@@ -73,18 +73,30 @@ class PrefetchLoader:
 
     _SENTINEL = object()
 
-    def __init__(self, iterable, depth: int = 2):
+    def __init__(self, iterable, depth: int = 2, on_close=None):
         self.iterable = iterable
         self.depth = depth
         self._stop = threading.Event()
         self._q: queue.Queue | None = None
         self._error: list[BaseException] = []
         self._consumed = False
+        self._on_close = on_close
+        self._close_lock = threading.Lock()
 
     def close(self) -> None:
         """Stop the producer thread (for consumers that break early —
-        e.g. ``--frame-limit`` — so decode doesn't run ahead forever)."""
+        e.g. ``--frame-limit`` — so decode doesn't run ahead forever).
+
+        Fires the ``on_close`` callback exactly once, no matter how many
+        paths close the loader (explicit close, end-of-drain, error
+        paths) — the serving daemon uses it to release its bounded
+        decode-ahead slot the moment the decoded frames are done with.
+        """
         self._stop.set()
+        with self._close_lock:
+            cb, self._on_close = self._on_close, None
+        if cb is not None:
+            cb()
 
     def start(self) -> "PrefetchLoader":
         """Begin producing into the bounded queue NOW (idempotent).

@@ -146,9 +146,10 @@ def _make_source(input_path: str, *, resize: int | None,
 class PreloadedDecode(typing.NamedTuple):
     """Handle returned by :func:`start_decode_ahead`.
 
-    Tuple-compatible with the original ``(source, loader)`` shape
-    (``preloaded[1].close()`` keeps working) while carrying the decode
-    parameters so consumers can validate against their own.
+    Indexable like the ``(source, loader)`` pair it wraps
+    (``preloaded[1].close()`` works) while carrying the decode
+    parameters; :func:`classify_video` validates them against its own
+    arguments, so a bare 2-tuple is not an accepted substitute.
     """
     source: object
     loader: object
@@ -165,6 +166,7 @@ def start_decode_ahead(
     decode_chunk_frames: int = 256,
     decoder: str = "cv2",
     prefetch_batches: int = 4,
+    on_close=None,
 ):
     """Kick off host decode immediately; returns a ``preloaded`` handle.
 
@@ -178,6 +180,9 @@ def start_decode_ahead(
     The handle records ``batch_size``/``resize``; ``classify_video``
     validates them against its own arguments (its ``frame_limit`` break
     math assumes the batch size the batches were actually built with).
+    ``on_close`` fires exactly once when the loader closes (drained,
+    abandoned, or rejected) — the serving daemon releases its bounded
+    decode-ahead slot through it.
     """
     from cut_detection_tpu.data.loader import PrefetchLoader
 
@@ -186,7 +191,8 @@ def start_decode_ahead(
                           decode_chunk_frames=decode_chunk_frames,
                           decoder=decoder)
     loader = PrefetchLoader(batch_frames(source, batch_size),
-                            depth=prefetch_batches).start()
+                            depth=prefetch_batches,
+                            on_close=on_close).start()
     return PreloadedDecode(source, loader, batch_size, resize)
 
 
@@ -232,16 +238,26 @@ def classify_video(
     on_device_preprocess = device_resize or pallas_preprocess
     if preloaded is not None:
         source, preloaded_batches = preloaded[0], preloaded[1]
+        # Every rejection below closes the handle first: the producer
+        # thread (and its decoder) would otherwise keep running after
+        # the caller's try/except swallows the error.
         if on_device_preprocess:
+            preloaded[1].close()
             raise ValueError(
                 "preloaded decode can't combine with on-device preprocess "
                 "(frames were already resized on the host)")
         # The frame_limit break math below assumes the batch size the
         # preloaded batches were actually built with; a silent mismatch
         # would over/under-consume frames (PreloadedDecode carries the
-        # parameters for exactly this check).
-        pre_bs = getattr(preloaded, "batch_size", batch_size)
-        pre_rs = getattr(preloaded, "resize", resize)
+        # parameters for exactly this check, so a bare (source, loader)
+        # tuple — which can't be validated — is rejected too).
+        pre_bs = getattr(preloaded, "batch_size", None)
+        pre_rs = getattr(preloaded, "resize", None)
+        if pre_bs is None or pre_rs is None:
+            preloaded[1].close()
+            raise TypeError(
+                "preloaded must be the PreloadedDecode handle returned "
+                "by start_decode_ahead")
         if pre_bs != batch_size or pre_rs != resize:
             preloaded[1].close()
             raise ValueError(
@@ -267,6 +283,8 @@ def classify_video(
         dr = (new_h, new_w)
 
     if mesh is not None and batch_size % mesh.shape["data"]:
+        if preloaded is not None:
+            preloaded[1].close()
         raise ValueError(
             f"batch_size={batch_size} must divide over the data axis "
             f"({mesh.shape['data']} shards)")

@@ -331,6 +331,12 @@ def simclr_augment(key, x_u8, size: tuple[int, int] = (144, 256)):
     The affine's nearest gather runs on the raw uint8 batch (2.4x
     faster; value-identical because nearest sampling commutes with the
     pointwise /255), converting to float before the jitter."""
+    if x_u8.dtype != jnp.uint8:
+        # The /255 normalization below keys off the dtype; pre-scaled
+        # float input would silently skip it and saturate the jitter's
+        # clip(0, 1).  Fail loudly instead (trace-time check).
+        raise TypeError(
+            f"simclr_augment expects uint8 frames, got {x_u8.dtype}")
     k1, k2, k3 = jax.random.split(key, 3)
     x = random_affine(k1, x_u8)
     if x.dtype == jnp.uint8:
@@ -436,6 +442,11 @@ def fast_simclr_augment(key, x_u8, size: tuple[int, int] = (144, 256)):
     scripts/probe_gather.py) and convert to [0, 1] float at crop
     resolution — value-identical to converting first.
     """
+    if x_u8.dtype != jnp.uint8:
+        # Same contract as simclr_augment: the gathers divide by 255
+        # unconditionally, so float input would be double-normalized.
+        raise TypeError(
+            f"fast_simclr_augment expects uint8 frames, got {x_u8.dtype}")
     b, h, w = x_u8.shape[0], x_u8.shape[1], x_u8.shape[2]
     k1, k2, k3 = jax.random.split(key, 3)
     angles, tx, ty, scales = affine_params(k1, b, w, h)

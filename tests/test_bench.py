@@ -247,3 +247,51 @@ def test_retry_fails_fast_on_deterministic_error(monkeypatch):
     with pytest.raises(RuntimeError):
         bench._retry(wedged, "x", attempts=3)
     assert calls["n"] == 3
+
+
+def test_malformed_backoff_env_does_not_crash(monkeypatch):
+    """A bad BENCH_BACKOFF (empty / non-numeric) must not take down the
+    crash-proof bench before the first attempt — the default schedule
+    applies instead and fn() still runs."""
+    for bad in ("", "abc", ",,"):
+        monkeypatch.setenv("BENCH_BACKOFF", bad)
+        assert bench._retry(lambda: 42, "x", attempts=2) == 42
+
+    # And with a transient failure: still retries (schedule defaulted,
+    # not crashed) — budget the sleep away via the cumulative cap.
+    monkeypatch.setenv("BENCH_BACKOFF", "abc")
+    monkeypatch.setattr(bench, "_SLEPT", [bench._budget()])
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        raise RuntimeError("UNAVAILABLE: boom")
+
+    with pytest.raises(RuntimeError):
+        bench._retry(flaky, "x", attempts=3)
+    assert calls["n"] == 1  # cap stopped the (defaulted) 20s sleep
+
+
+def test_cumulative_retry_sleep_cap(monkeypatch):
+    """Broad transient markers can misclassify a deterministic error;
+    the cumulative sleep cap (25% of budget) bounds the damage across
+    rungs instead of letting each one ride the full backoff."""
+    monkeypatch.setenv("BENCH_BACKOFF", "0.01")
+    monkeypatch.setattr(bench, "_SLEPT", [0.0])
+    calls = {"n": 0}
+
+    def wedged():
+        calls["n"] += 1
+        raise RuntimeError("INTERNAL: looks transient, is not")
+
+    with pytest.raises(RuntimeError):
+        bench._retry(wedged, "x", attempts=3)
+    assert calls["n"] == 3  # under the cap: all attempts ran
+    assert bench._SLEPT[0] > 0
+
+    # Once the cap is consumed, later rungs stop retrying immediately.
+    monkeypatch.setattr(bench, "_SLEPT", [0.25 * bench._budget()])
+    calls["n"] = 0
+    with pytest.raises(RuntimeError):
+        bench._retry(wedged, "y", attempts=3)
+    assert calls["n"] == 1

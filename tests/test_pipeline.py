@@ -519,17 +519,42 @@ def test_decode_ahead_mismatched_params_rejected(synthetic_video):
     assert pre[1]._stop.is_set()  # rejecting call closed the producer
 
 
-def test_decode_ahead_legacy_tuple_accepted(synthetic_video):
-    """A plain (source, loader) 2-tuple (the pre-PreloadedDecode handle
-    shape) still works — validation only applies when the handle carries
-    its parameters."""
+def test_decode_ahead_bare_tuple_rejected(synthetic_video):
+    """A bare (source, loader) 2-tuple can't be validated (no recorded
+    batch_size/resize), so classify_video rejects it loudly instead of
+    letting a silent parameter mismatch corrupt the frame_limit math —
+    and closes the loader on the way out."""
     from cut_detection_tpu.pipeline import start_decode_ahead
 
     pre = start_decode_ahead(synthetic_video, batch_size=32)
-    try:
-        a = classify_video(synthetic_video, batch_size=32, print_every=0,
-                           preloaded=(pre[0], pre[1]))
-    finally:
-        pre[1].close()
-    b = classify_video(synthetic_video, batch_size=32, print_every=0)
-    np.testing.assert_array_equal(a[1], b[1])
+    with pytest.raises(TypeError, match="PreloadedDecode"):
+        classify_video(synthetic_video, batch_size=32, print_every=0,
+                       preloaded=(pre[0], pre[1]))
+    assert pre[1]._stop.is_set()
+
+
+def test_decode_ahead_closed_on_preprocess_reject(synthetic_video):
+    """The on-device-preprocess rejection closes the producer too (a
+    caller catching the ValueError must not leak a running decode
+    pipeline)."""
+    from cut_detection_tpu.pipeline import start_decode_ahead
+
+    pre = start_decode_ahead(synthetic_video, batch_size=32)
+    with pytest.raises(ValueError, match="preloaded decode"):
+        classify_video(synthetic_video, batch_size=32, print_every=0,
+                       device_resize=True, preloaded=pre)
+    assert pre[1]._stop.is_set()
+
+
+def test_prefetch_on_close_fires_exactly_once(synthetic_video):
+    """PrefetchLoader's on_close callback fires once no matter how many
+    paths close the loader (explicit close x2 + end-of-drain)."""
+    from cut_detection_tpu.data.loader import PrefetchLoader
+
+    calls = []
+    loader = PrefetchLoader(iter([1, 2, 3]), depth=2,
+                            on_close=lambda: calls.append(1))
+    assert list(loader) == [1, 2, 3]  # drain closes
+    loader.close()
+    loader.close()
+    assert calls == [1]
