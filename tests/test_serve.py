@@ -649,3 +649,37 @@ def test_prefetch_slot_released_on_drain(synthetic_video, tmp_path):
     classify_video(synthetic_video, batch_size=32, print_every=0,
                    preloaded=h)
     assert state.active_prefetch == 0
+
+
+def test_decode_ahead_starts_while_device_busy(server, synthetic_video,
+                                               tmp_path):
+    """The overlap itself, asserted structurally (not by timing): while
+    the device lock is held by an in-flight request, a queued request's
+    host decode claims a prefetch slot and starts producing — so the
+    chip-idle-during-decode serialization is provably gone."""
+    import time
+
+    base, state = server
+    out = str(tmp_path / "overlap.csv")
+    results = []
+
+    def hit():
+        results.append(_post(base + "/segment", {
+            "input_path": synthetic_video, "output_path": out,
+        }))
+
+    state.lock.acquire()  # simulate an in-flight request holding the chip
+    try:
+        t = threading.Thread(target=hit)
+        t.start()
+        deadline = time.time() + 30
+        while state.active_prefetch == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        # Decode is running while the device is "busy".
+        assert state.active_prefetch > 0
+    finally:
+        state.lock.release()
+    t.join(timeout=120)
+    assert results and results[0][0] == 200
+    # The slot was released when the decoded frames were consumed.
+    assert state.active_prefetch == 0
