@@ -47,6 +47,11 @@ pipelines each video's decode under the previous video's device time —
 the chip never idles waiting for the next decode.  ``/metrics``
 reports the resulting queue depth and wait/latency percentiles so
 operators can see saturation.
+
+The CLI warms the serving-shape classify step at startup (and
+``/reload`` warms the incoming model before swapping), so the first
+request never pays the XLA compile while holding the device lock;
+``--no-warmup`` / ``{"warmup": false}`` opt out.
 """
 
 from __future__ import annotations
@@ -110,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Disable overlapping a queued request's host "
                         "decode with the in-flight request's device "
                         "compute (decode-ahead is on by default).")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="Skip compiling the serving-shape classify step "
+                        "at startup (warmup is on by default so the "
+                        "first request doesn't pay the XLA compile).")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -191,6 +200,30 @@ class _State:
                 "latency_p95_s": pct(self.latency_s, 0.95),
                 "precision": self.precision,
             }
+
+
+def _warmup_net(net, batch_size: int = 128,
+                resize_hw: tuple = (144, 256)) -> float:
+    """Compile + execute the serving-shape classify step; returns seconds.
+
+    The hardware smoke test measured the first request paying ~105 s of
+    XLA compile while holding the device lock (every queued request ate
+    it as lock wait).  Warming at startup/reload moves that cost off the
+    request path.  The default shape (reference batch 128, the 16:9
+    resize output 144x256) covers the dominant case; other aspect ratios
+    or batch sizes still compile on their first request.
+    """
+    import numpy as np
+
+    from cut_detection_tpu.pipeline import make_classify_step
+
+    t0 = time.time()
+    step = make_classify_step(net)
+    conf, pred = step(net.bundle,
+                      np.zeros((batch_size,) + tuple(resize_hw) + (3,),
+                               np.uint8))
+    np.asarray(conf), np.asarray(pred)  # fetch: proves execution completed
+    return time.time() - t0
 
 
 def _try_prefetch(state: _State, input_path: str, batch_size: int,
@@ -443,6 +476,13 @@ def _make_handler(state: _State):
                 import numpy as _np
 
                 net(_np.zeros((1, 36, 64, 3), _np.float32))
+                # Warm the serving-shape step too (still outside the
+                # lock: in-flight requests keep running on the old
+                # model), so the swap doesn't hand the next request a
+                # cold compile.  {"warmup": false} skips it.
+                if req.get("warmup", True):
+                    logger.info("Reload warmup took %.1fs",
+                                _warmup_net(net))
             except Exception as e:
                 self._reply(400, {"error": f"reload failed: "
                                            f"{type(e).__name__}: {e}"})
@@ -557,11 +597,15 @@ def make_server(host: str, port: int, precision: str = "float32",
                 certfile: str | None = None,
                 keyfile: str | None = None,
                 client_ca: str | None = None,
-                decode_ahead: bool = True):
+                decode_ahead: bool = True,
+                warmup: bool = False):
     """Build (server, state) with the model preloaded.
 
     ``certfile``/``keyfile`` enable HTTPS; ``client_ca`` additionally
-    demands client certificates signed by that CA (mTLS).
+    demands client certificates signed by that CA (mTLS).  ``warmup``
+    compiles + runs the serving-shape classify step for every loaded
+    model before the server is returned (the CLI enables it by default;
+    off here so tests constructing many servers stay fast).
     """
     if client_ca and not certfile:
         raise ValueError("--client-ca requires --certfile/--keyfile")
@@ -590,6 +634,10 @@ def make_server(host: str, port: int, precision: str = "float32",
     for nm, (mdir, mname) in (extra_models or {}).items():
         state.nets[nm], _ = load_triplet_or_default(mdir, mname,
                                                     precision=precision)
+    if warmup:
+        for nm, net in [("default", state.net)] + sorted(state.nets.items()):
+            logger.info("Warming %r: serving-shape compile...", nm)
+            logger.info("Warmed %r in %.1fs", nm, _warmup_net(net))
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     if certfile:
         # do_handshake_on_connect=False defers the TLS handshake to the
@@ -647,7 +695,8 @@ def main(args=None) -> None:
                             extra_models=_parse_model_flags(ns.model),
                             certfile=ns.certfile, keyfile=ns.keyfile,
                             client_ca=ns.client_ca,
-                            decode_ahead=not ns.no_decode_ahead)
+                            decode_ahead=not ns.no_decode_ahead,
+                            warmup=not ns.no_warmup)
     logging.info("Serving on %s:%d", ns.host, ns.port)
     try:
         server.serve_forever()

@@ -683,3 +683,39 @@ def test_decode_ahead_starts_while_device_busy(server, synthetic_video,
     assert results and results[0][0] == 200
     # The slot was released when the decoded frames were consumed.
     assert state.active_prefetch == 0
+
+
+def test_warmup_server_and_reload(synthetic_video, tmp_path):
+    """make_server(warmup=True) pre-compiles the serving-shape step for
+    every loaded model and still serves correctly; /reload honors the
+    warmup flag both ways."""
+    from cut_detection_tpu.cli.serve import make_server
+
+    srv, state = make_server("127.0.0.1", 0, warmup=True)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        out = str(tmp_path / "warm.csv")
+        status, data = _post(base + "/segment", {
+            "input_path": synthetic_video, "output_path": out})
+        assert status == 200 and data["stats"]["frames"] > 0
+
+        # Reload with warmup skipped, then with the default (warms).
+        status, data = _post(base + "/reload", {"warmup": False})
+        assert status == 200 and data["status"] == "reloaded"
+        status, data = _post(base + "/reload", {})
+        assert status == 200 and data["status"] == "reloaded"
+        status, _ = _post(base + "/segment", {
+            "input_path": synthetic_video, "output_path": out})
+        assert status == 200
+    finally:
+        srv.shutdown()
+
+
+def test_serve_parser_warmup_flag():
+    from cut_detection_tpu.cli.serve import build_parser
+
+    assert build_parser().parse_args([]).no_warmup is False
+    assert build_parser().parse_args(["--no-warmup"]).no_warmup is True
