@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--print-every", type=int, default=0)
     p.add_argument("--decode-workers", type=int, default=1)
+    p.add_argument("--no-decode-ahead", action="store_true",
+                   help="Process videos strictly sequentially instead of "
+                        "starting video i+1's host decode while video i "
+                        "runs on the device.")
     p.add_argument("--device-resize", action="store_true")
     p.add_argument("--precision",
                    choices=list(PRECISION_CHOICES),
@@ -96,6 +100,7 @@ def main(args=None) -> list[str]:
         device_resize=ns.device_resize,
         precision=ns.precision,
         mesh=mesh,
+        pipeline_decode=not ns.no_decode_ahead,
     )
     outs = [r[0] for r in results]
     for out, (_, seg, stats) in zip(outs, results):

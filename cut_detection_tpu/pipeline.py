@@ -452,24 +452,59 @@ def segment_many(
     mesh=None,
     precision: str = "float32",
     net: GluedNet | None = None,
+    pipeline_decode: bool = True,
     **kwargs,
 ) -> list[tuple[str, Segmentation, PipelineStats]]:
     """Segment several videos with ONE loaded model and one compiled step.
 
     The multi-game batch configuration (BASELINE.md config #5): per-video
     decode pipelines feed the shared classify step, so the jit compile and
-    checkpoint load are paid once.  With a multi-device ``mesh`` the frame
-    batches additionally shard over the ``data`` axis (pure data
-    parallelism over the frame axis — SURVEY.md §2.3; the classify step is
-    jitted with P('data') batch sharding and replicated params).
+    checkpoint load are paid once.  ``pipeline_decode`` (default on)
+    additionally starts video i+1's host decode while video i runs on
+    the device — the same design as the serving daemon's
+    ``/segment_batch`` — so across a batch, wall clock tends toward
+    max(total decode, total device) instead of the sum.  With a
+    multi-device ``mesh`` the frame batches additionally shard over the
+    ``data`` axis (pure data parallelism over the frame axis —
+    SURVEY.md §2.3; the classify step is jitted with P('data') batch
+    sharding and replicated params).
     """
     if net is None:
         net, _ = load_default_net(precision=precision)
+    # On-device preprocess needs raw frames, which decode-ahead's
+    # host-resized pipeline can't provide (classify_video rejects the
+    # combination), so pipelining only applies to the host-resize path.
+    can_pre = pipeline_decode and not (
+        kwargs.get("device_resize") or kwargs.get("pallas_preprocess"))
+    pres: dict = {}
+
+    def start_pre(i: int) -> None:
+        if can_pre and 0 <= i < len(input_paths):
+            try:
+                pres[i] = start_decode_ahead(
+                    input_paths[i],
+                    batch_size=kwargs.get("batch_size", 128),
+                    resize=kwargs.get("resize", 256),
+                    decode_workers=kwargs.get("decode_workers", 1),
+                    decode_chunk_frames=kwargs.get(
+                        "decode_chunk_frames", 256),
+                    decoder=kwargs.get("decoder", "cv2"),
+                )
+            except Exception:  # fall back to the in-call decode
+                logger.exception("decode-ahead failed for %s",
+                                 input_paths[i])
+
     results = []
-    for i, path in enumerate(input_paths):
-        out = output_paths[i] if output_paths else None
-        results.append(
-            segment_video_file(path, out, net=net, precision=precision,
-                               mesh=mesh, **kwargs)
-        )
+    try:
+        for i, path in enumerate(input_paths):
+            start_pre(i + 1)
+            out = output_paths[i] if output_paths else None
+            results.append(
+                segment_video_file(path, out, net=net, precision=precision,
+                                   mesh=mesh, preloaded=pres.pop(i, None),
+                                   **kwargs)
+            )
+    finally:
+        for pre in pres.values():  # leftovers on early exit
+            pre[1].close()
     return results

@@ -558,3 +558,26 @@ def test_prefetch_on_close_fires_exactly_once(synthetic_video):
     loader.close()
     loader.close()
     assert calls == [1]
+
+
+def test_segment_many_pipelined_matches_sequential(synthetic_video, tmp_path):
+    """pipeline_decode (default on) starts video i+1's decode while
+    video i runs — the batch-CLI analog of serve's /segment_batch.
+    Outputs must be byte-identical to the strictly sequential path."""
+    from cut_detection_tpu.pipeline import segment_many
+
+    vids = [synthetic_video] * 3
+    outs_p = [str(tmp_path / f"p{i}.csv") for i in range(3)]
+    outs_s = [str(tmp_path / f"s{i}.csv") for i in range(3)]
+    segment_many(vids, outs_p, batch_size=64, print_every=0)
+    segment_many(vids, outs_s, batch_size=64, print_every=0,
+                 pipeline_decode=False)
+    for a, b in zip(outs_p, outs_s):
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+    # device_resize composes (pipelining silently disabled, since the
+    # preloaded host-resized frames can't feed the on-device preprocess).
+    outs_d = [str(tmp_path / f"d{i}.csv") for i in range(2)]
+    segment_many(vids[:2], outs_d, batch_size=64, print_every=0,
+                 device_resize=True)
+    assert open(outs_d[0], "rb").read() == open(outs_s[0], "rb").read()
