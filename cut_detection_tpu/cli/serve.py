@@ -150,6 +150,10 @@ class _State:
         # happened to arrive when the queue was short).
         self.prefetch_slots = 2
         self.active_prefetch = 0
+        # Server-level warmup policy; /reload defaults to it (a server
+        # started with --no-warmup shouldn't warm on reload unless the
+        # request explicitly asks with {"warmup": true}).
+        self.warmup_default = False
         self.nets = {}  # name -> GluedNet ("default" = self.net)
 
     def sweep_spool(self) -> int:
@@ -476,17 +480,25 @@ def _make_handler(state: _State):
                 import numpy as _np
 
                 net(_np.zeros((1, 36, 64, 3), _np.float32))
-                # Warm the serving-shape step too (still outside the
-                # lock: in-flight requests keep running on the old
-                # model), so the swap doesn't hand the next request a
-                # cold compile.  {"warmup": false} skips it.
-                if req.get("warmup", True):
-                    logger.info("Reload warmup took %.1fs",
-                                _warmup_net(net))
             except Exception as e:
                 self._reply(400, {"error": f"reload failed: "
                                            f"{type(e).__name__}: {e}"})
                 return
+            # Warm the serving-shape step too (still outside the lock:
+            # in-flight requests keep running on the old model), so the
+            # swap doesn't hand the next request a cold compile.
+            # Defaults to the server's --no-warmup policy; {"warmup":
+            # true/false} overrides.  A warmup failure must NOT discard
+            # the already-validated model — the first request just pays
+            # the compile instead.
+            if req.get("warmup", state.warmup_default):
+                try:
+                    logger.info("Reload warmup took %.1fs",
+                                _warmup_net(net))
+                except Exception:
+                    logger.exception(
+                        "reload warmup failed; swapping anyway (first "
+                        "request will compile)")
             slot = req.get("model", "default")
             with state.lock:
                 if slot == "default":
@@ -634,10 +646,7 @@ def make_server(host: str, port: int, precision: str = "float32",
     for nm, (mdir, mname) in (extra_models or {}).items():
         state.nets[nm], _ = load_triplet_or_default(mdir, mname,
                                                     precision=precision)
-    if warmup:
-        for nm, net in [("default", state.net)] + sorted(state.nets.items()):
-            logger.info("Warming %r: serving-shape compile...", nm)
-            logger.info("Warmed %r in %.1fs", nm, _warmup_net(net))
+    state.warmup_default = warmup
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     if certfile:
         # do_handshake_on_connect=False defers the TLS handshake to the
@@ -646,6 +655,15 @@ def make_server(host: str, port: int, precision: str = "float32",
         # handler's rfile timeout bounds stuck handshakes).
         server.socket = ctx.wrap_socket(server.socket, server_side=True,
                                         do_handshake_on_connect=False)
+    if warmup:
+        # AFTER the bind: a port conflict surfaces immediately, and
+        # during the (possibly minutes-long, cold-cache) compile clients
+        # get a queued TCP connect instead of connection-refused — so a
+        # restart supervisor's health check doesn't kill the daemon in a
+        # compile loop.
+        for nm, net in [("default", state.net)] + sorted(state.nets.items()):
+            logger.info("Warming %r: serving-shape compile...", nm)
+            logger.info("Warmed %r in %.1fs", nm, _warmup_net(net))
     return server, state
 
 

@@ -28,6 +28,7 @@ import functools
 import logging
 import os
 import typing
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,14 @@ class PipelineStats:
     steady_frames_per_sec: float = 0.0
 
 
+# Steps memoized per (net, options): serve requests, segment_many videos
+# and the serve warmup all reuse ONE jitted function object — so the
+# compiled executable is shared in-process instead of re-traced per call
+# and re-fetched through the persistent XLA cache (which may be disabled
+# or cold).  Keyed weakly on the net so dropped models free their steps.
+_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def make_classify_step(net: GluedNet, *,
                        device_resize: tuple[int, int] | None = None,
                        pallas_preprocess: bool = False,
@@ -68,7 +77,14 @@ def make_classify_step(net: GluedNet, *,
     resize+flip+normalize kernel instead (float bilinear — fast path, not
     bit-exact with cv2).  With ``mesh``, frame batches shard over the
     ``data`` axis and params replicate (multi-chip data parallelism).
+
+    Memoized per (net, options): repeated calls return the same jitted
+    function, so its compile cache carries across requests/videos.
     """
+    cache_key = (device_resize, pallas_preprocess, mesh)
+    per_net = _STEP_CACHE.get(net)
+    if per_net is not None and cache_key in per_net:
+        return per_net[cache_key]
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -112,13 +128,20 @@ def make_classify_step(net: GluedNet, *,
         return conf, pred
 
     # Bind the net's pure apply (configs are static in the closure).
+    # Capture the CONFIGS, not the net: the memo value must not hold a
+    # strong reference to its own weak key, or dropped nets (e.g. served
+    # models replaced via /reload) would never free their steps.
     from cut_detection_tpu.models.assembly import _glued_apply
 
-    def net_apply(bundle, x):
-        return _glued_apply(bundle, x,
-                            conv_cfg=net.conv_cfg, linear_cfg=net.linear_cfg,
-                            compute_dtype=net.compute_dtype)
+    conv_cfg, linear_cfg = net.conv_cfg, net.linear_cfg
+    compute_dtype = net.compute_dtype
 
+    def net_apply(bundle, x):
+        return _glued_apply(bundle, x, conv_cfg=conv_cfg,
+                            linear_cfg=linear_cfg,
+                            compute_dtype=compute_dtype)
+
+    _STEP_CACHE.setdefault(net, {})[cache_key] = step
     return step
 
 
@@ -407,6 +430,7 @@ def segment_video_file(
     frame_limit: int | None = None,
     print_every: int = 50,
     decode_workers: int = 1,
+    decode_chunk_frames: int = 256,
     device_resize: bool = False,
     pallas_preprocess: bool = False,
     cache_path: str | None = None,
@@ -430,6 +454,7 @@ def segment_video_file(
         input_path, net,
         batch_size=batch_size, resize=resize, frame_limit=frame_limit,
         print_every=print_every, decode_workers=decode_workers,
+        decode_chunk_frames=decode_chunk_frames,
         device_resize=device_resize, pallas_preprocess=pallas_preprocess,
         cache_path=cache_path, precision=precision, mesh=mesh,
         decoder=decoder, preloaded=preloaded,
@@ -479,7 +504,8 @@ def segment_many(
     pres: dict = {}
 
     def start_pre(i: int) -> None:
-        if can_pre and 0 <= i < len(input_paths):
+        if (can_pre and 0 <= i < len(input_paths)
+                and os.path.isfile(input_paths[i])):
             try:
                 pres[i] = start_decode_ahead(
                     input_paths[i],
@@ -499,11 +525,21 @@ def segment_many(
         for i, path in enumerate(input_paths):
             start_pre(i + 1)
             out = output_paths[i] if output_paths else None
-            results.append(
-                segment_video_file(path, out, net=net, precision=precision,
-                                   mesh=mesh, preloaded=pres.pop(i, None),
-                                   **kwargs)
-            )
+            pre = pres.pop(i, None)
+            try:
+                results.append(
+                    segment_video_file(path, out, net=net,
+                                       precision=precision, mesh=mesh,
+                                       preloaded=pre, **kwargs)
+                )
+            except BaseException:
+                # segment_video_file can raise BEFORE classify_video takes
+                # ownership of the handle (e.g. its isfile check); close()
+                # is idempotent, so closing here covers that window
+                # without double-freeing the paths classify_video closed.
+                if pre is not None:
+                    pre[1].close()
+                raise
     finally:
         for pre in pres.values():  # leftovers on early exit
             pre[1].close()

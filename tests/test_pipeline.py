@@ -581,3 +581,21 @@ def test_segment_many_pipelined_matches_sequential(synthetic_video, tmp_path):
     segment_many(vids[:2], outs_d, batch_size=64, print_every=0,
                  device_resize=True)
     assert open(outs_d[0], "rb").read() == open(outs_s[0], "rb").read()
+
+
+def test_classify_step_memoized_per_net():
+    """make_classify_step returns the SAME jitted object for the same
+    (net, options) — serve warmup and every later request share one
+    compile cache in-process — and distinct objects per option set."""
+    from cut_detection_tpu.models.assembly import load_default_net
+    from cut_detection_tpu.pipeline import make_classify_step
+
+    net, _ = load_default_net()
+    s1 = make_classify_step(net)
+    s2 = make_classify_step(net)
+    assert s1 is s2
+    s3 = make_classify_step(net, device_resize=(144, 256))
+    assert s3 is not s1
+    assert make_classify_step(net, device_resize=(144, 256)) is s3
+    net2, _ = load_default_net()
+    assert make_classify_step(net2) is not s1

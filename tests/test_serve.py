@@ -719,3 +719,26 @@ def test_serve_parser_warmup_flag():
 
     assert build_parser().parse_args([]).no_warmup is False
     assert build_parser().parse_args(["--no-warmup"]).no_warmup is True
+
+
+def test_reload_warmup_follows_server_policy(monkeypatch):
+    """/reload defaults to the server's warmup policy (--no-warmup means
+    reloads don't warm either) and the request flag overrides it."""
+    import cut_detection_tpu.cli.serve as serve_mod
+
+    calls = []
+    monkeypatch.setattr(serve_mod, "_warmup_net",
+                        lambda net, **kw: calls.append(1) or 0.0)
+    srv, state = serve_mod.make_server("127.0.0.1", 0, warmup=False)
+    assert state.warmup_default is False and calls == []
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        status, _ = _post(base + "/reload", {})
+        assert status == 200 and calls == []  # policy: no warmup
+        status, _ = _post(base + "/reload", {"warmup": True})
+        assert status == 200 and calls == [1]  # explicit override
+    finally:
+        srv.shutdown()
