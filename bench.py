@@ -549,6 +549,40 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
 _LADDER = ("uint8_chain", "uint8_pool", "bfloat16_full", "float32")
 
 
+def _backend_init_with_timeout(timeout_s: float):
+    """Initialize the JAX backend on a daemon thread, bounded in time.
+
+    A wedged axon tunnel can make ``jax.devices()`` HANG forever rather
+    than raise (observed: >90 min stuck in backend init) — a failure
+    mode that bypasses the retry/backoff machinery entirely, since no
+    exception ever surfaces.  Returns the device list, or None on
+    timeout (the caller emits the diagnostic JSON line and exits, so
+    the driver records a parseable artifact instead of a killed
+    process with no output).  Raises if init raised.
+    """
+    import threading
+
+    devices: list = []
+    error: list = []
+
+    def init():
+        try:
+            import jax
+
+            devices.append(jax.devices())
+        except BaseException as e:  # noqa: BLE001 — report any init fault
+            error.append(e)
+
+    t = threading.Thread(target=init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if error:
+        raise error[0]
+    if not devices:
+        return None
+    return devices[0]
+
+
 def main() -> None:
     # Batch 128 measured fastest on the v5e (70.6k vs 60.6k at 256 — see
     # docs/PERFORMANCE.md) and matches the CLI's default batch size.
@@ -560,6 +594,23 @@ def main() -> None:
     requested = os.environ.get("BENCH_PRECISION", "uint8_chain")
 
     degraded: list = []
+    # Bound backend init: a wedged tunnel can hang jax.devices() forever
+    # (no exception, so retries never engage).  Cap it at 40% of the run
+    # budget and still emit the JSON diagnostic line on timeout.
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT",
+                                        min(600.0, 0.4 * _budget())))
+    if _backend_init_with_timeout(init_timeout) is None:
+        _log(f"backend init did not complete within {init_timeout:.0f}s "
+             "(wedged tunnel?)")
+        print(json.dumps({
+            "metric": "frames/sec/chip, 256x144 uint8 -> classify",
+            "value": None, "unit": "frames/sec", "vs_baseline": None,
+            "degraded": {"requested": requested, "measured": None,
+                         "failures": [{"stage": "backend-init", "attempt": 1,
+                                       "error": f"no devices within "
+                                                f"{init_timeout:.0f}s"}]},
+        }))
+        sys.exit(1)
     ladder = [requested] + [p for p in _LADDER if p != requested]
     ours = None
     precision = requested

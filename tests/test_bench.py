@@ -295,3 +295,23 @@ def test_cumulative_retry_sleep_cap(monkeypatch):
     with pytest.raises(RuntimeError):
         bench._retry(wedged, "y", attempts=3)
     assert calls["n"] == 1
+
+
+def test_backend_init_timeout_emits_json(monkeypatch, capsys):
+    """A hung backend init (wedged tunnel makes jax.devices() block
+    forever, raising nothing) must still produce the diagnostic JSON
+    line instead of a killed process with no output."""
+    monkeypatch.setattr(bench, "_backend_init_with_timeout",
+                        lambda t: None)
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 1
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] is None
+    assert payload["degraded"]["failures"][0]["stage"] == "backend-init"
+
+
+def test_backend_init_with_timeout_completes():
+    # On the (forced-CPU) test backend init completes well inside the
+    # bound and the device list is returned.
+    assert bench._backend_init_with_timeout(30) is not None
