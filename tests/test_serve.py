@@ -742,3 +742,23 @@ def test_reload_warmup_follows_server_policy(monkeypatch):
         assert status == 200 and calls == [1]  # explicit override
     finally:
         srv.shutdown()
+
+
+def test_serve_main_init_timeout_exits_3(monkeypatch, tmp_path):
+    """A hung backend init makes the daemon exit 3 with a clear log
+    instead of hanging forever (supervisors can retry)."""
+    import cut_detection_tpu.cli.serve as serve_mod
+
+    import sys
+    import time
+    import types
+
+    monkeypatch.setenv("CUTDET_INIT_TIMEOUT", "0.2")
+
+    hang = types.ModuleType("jax")
+    hang.config = types.SimpleNamespace(update=lambda *a, **k: None)
+    hang.devices = lambda: time.sleep(5)
+    monkeypatch.setitem(sys.modules, "jax", hang)
+    with pytest.raises(SystemExit) as ei:
+        serve_mod.main(["--port", "0"])
+    assert ei.value.code == 3
