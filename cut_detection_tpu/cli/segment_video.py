@@ -87,8 +87,6 @@ def main(args=None) -> str:
     setup_logging()
 
     if ns.cpu:
-        import jax
-
         from cut_detection_tpu.utils.platform import force_cpu
 
         force_cpu()
@@ -97,9 +95,12 @@ def main(args=None) -> str:
 
     enable_compilation_cache()
 
-    import jax
+    from cut_detection_tpu.utils.platform import init_devices
 
-    logging.info("Using %s", jax.devices()[0].platform)
+    # Unbounded by default (interactive use); CUTDET_INIT_TIMEOUT bounds
+    # backend init for batch jobs so a wedged tunnel fails instead of
+    # hanging the job forever.
+    logging.info("Using %s", init_devices()[0].platform)
 
     from cut_detection_tpu.pipeline import segment_video_file
     from cut_detection_tpu.utils.profiling import maybe_trace

@@ -60,7 +60,12 @@ def main(args=None) -> list[str]:
         from cut_detection_tpu.utils.platform import force_cpu
 
         force_cpu()
-    logging.info("Using %s x%d", jax.devices()[0].platform, len(jax.devices()))
+    from cut_detection_tpu.utils.platform import init_devices
+
+    # CUTDET_INIT_TIMEOUT bounds backend init (batch jobs on a wedged
+    # tunnel fail fast instead of hanging); unbounded when unset.
+    devices = init_devices()
+    logging.info("Using %s x%d", devices[0].platform, len(devices))
 
     inputs = ns.input_paths
     if ns.multi_host:

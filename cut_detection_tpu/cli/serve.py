@@ -706,18 +706,14 @@ def main(args=None) -> None:
     # hang forever (raising nothing).  A daemon that exits non-zero with
     # a clear log line lets a restart supervisor retry; one hung in init
     # serves connection-refused indefinitely with no diagnostic.
-    init_timeout = float(os.environ.get("CUTDET_INIT_TIMEOUT", 900))
-    devices: list = []
-    t = threading.Thread(target=lambda: devices.append(jax.devices()),
-                         daemon=True)
-    t.start()
-    t.join(init_timeout)
-    if not devices:
-        logging.error("JAX backend init did not complete within %.0fs "
-                      "(wedged tunnel?); exiting for the supervisor to "
-                      "retry", init_timeout)
+    from cut_detection_tpu.utils.platform import init_devices
+
+    try:
+        devices = init_devices(default_timeout=900)
+    except TimeoutError as e:
+        logging.error("%s; exiting for the supervisor to retry", e)
         raise SystemExit(3)
-    logging.info("Using %s", devices[0][0].platform)
+    logging.info("Using %s", devices[0].platform)
 
     server, _ = make_server(ns.host, ns.port, ns.precision,
                             model_dir=ns.model_dir, model_name=ns.model_name,

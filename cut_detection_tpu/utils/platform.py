@@ -15,3 +15,43 @@ def force_cpu() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def init_devices(default_timeout: float | None = None):
+    """``jax.devices()`` bounded by ``CUTDET_INIT_TIMEOUT`` seconds.
+
+    A wedged device tunnel can make backend init HANG forever without
+    raising (observed live: >2 h stuck), which no exception handler can
+    catch.  When a timeout applies (the env var, or ``default_timeout``
+    for daemons), init runs on a daemon thread and a ``TimeoutError``
+    surfaces instead — batch jobs and supervisors get a clear failure
+    they can retry.  With neither set, behaves exactly like
+    ``jax.devices()`` (interactive use keeps its unbounded default).
+    """
+    import jax
+
+    timeout = float(os.environ.get("CUTDET_INIT_TIMEOUT",
+                                   default_timeout or 0))
+    if timeout <= 0:
+        return jax.devices()
+    import threading
+
+    devices: list = []
+    error: list = []
+
+    def init():
+        try:
+            devices.append(jax.devices())
+        except BaseException as e:  # noqa: BLE001 — surface init faults
+            error.append(e)
+
+    t = threading.Thread(target=init, daemon=True)
+    t.start()
+    t.join(timeout)
+    if error:
+        raise error[0]
+    if not devices:
+        raise TimeoutError(
+            f"JAX backend init did not complete within {timeout:.0f}s "
+            "(wedged tunnel?)")
+    return devices[0]

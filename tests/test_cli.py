@@ -160,3 +160,33 @@ def test_labelling_storage(tmp_path):
     labels = write_label(str(tmp_path), {}, 7, "EZ")
     assert labels == {"7": "EZ"}
     assert get_labels(str(tmp_path)) == {"7": "EZ"}
+
+
+def test_init_devices_timeout_and_passthrough(monkeypatch):
+    """init_devices: unbounded without config; TimeoutError when
+    CUTDET_INIT_TIMEOUT is set and init hangs; passthrough when fast."""
+    import sys
+    import time
+    import types
+
+    from cut_detection_tpu.utils import platform as plat
+
+    # Fast path: real (forced-CPU) jax returns devices.
+    assert len(plat.init_devices()) >= 1
+    monkeypatch.setenv("CUTDET_INIT_TIMEOUT", "0.2")
+    assert len(plat.init_devices()) >= 1
+
+    # Hang path: stub jax whose devices() sleeps past the bound.
+    hang = types.ModuleType("jax")
+    hang.devices = lambda: time.sleep(5)
+    monkeypatch.setitem(sys.modules, "jax", hang)
+    with pytest.raises(TimeoutError, match="wedged"):
+        plat.init_devices()
+
+    # Init errors propagate as themselves, not TimeoutError.
+    def boom():
+        raise RuntimeError("backend exploded")
+
+    hang.devices = boom
+    with pytest.raises(RuntimeError, match="exploded"):
+        plat.init_devices()
