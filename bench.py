@@ -549,41 +549,107 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
 _LADDER = ("uint8_chain", "uint8_pool", "bfloat16_full", "float32")
 
 
+def _cpu_fallback(requested: str) -> tuple[str | None, int]:
+    """Last-resort re-run of this bench on the host CPU backend.
+
+    When the TPU tunnel is wedged (backend init hangs, or every ladder
+    rung dies with relay faults), a ``value: null`` artifact records
+    nothing about the code under test.  A host-CPU measurement is slow
+    but real — so re-exec bench.py in a subprocess with the axon
+    sitecustomize stripped from PYTHONPATH and JAX pinned to the ``cpu``
+    platform, with the flagship knobs shrunk to CPU scale.  The child's
+    JSON line carries ``degraded.platform = "cpu"`` so no consumer can
+    mistake it for a chip number.
+
+    Returns ``(json_line, rc)`` from the child, or ``(None, 1)`` when
+    the fallback is disabled, recursing, or itself failed.
+    """
+    if os.environ.get("CUTDET_BENCH_FORCE_CPU") == "1":
+        return None, 1  # already the fallback child — never recurse
+    if os.environ.get("BENCH_CPU_FALLBACK", "1") == "0":
+        return None, 1
+    import subprocess
+
+    env = dict(os.environ)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Drop the axon relay's sitecustomize dir so the child can't touch
+    # the wedged tunnel; keep everything else (the repo dir must lead).
+    # Match the directory name, not an 'axon' substring — a legitimate
+    # /home/jaxon-style entry must survive.
+    pyp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+           if p and "axon_site" not in os.path.basename(p.rstrip("/"))
+           and p != here]
+    env["PYTHONPATH"] = os.pathsep.join([here] + pyp)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CUTDET_BENCH_FORCE_CPU"] = "1"
+    child_budget = max(300.0, _remaining() - 30.0)
+    env["BENCH_TIME_BUDGET"] = str(child_budget)
+    # CPU-scale knobs: float32 is the fastest rung on CPU (bf16 is
+    # emulated there), 8 device-loop steps keep one call ~seconds, and
+    # the e2e stage runs a short clip with no sustained pass.
+    env["BENCH_PRECISION"] = "float32"
+    env["CUTDET_BENCH_REQUESTED"] = requested  # original ask, for the JSON
+    env["BENCH_STEPS"] = "8"
+    env["BENCH_E2E_FRAMES"] = "2000"
+    env["BENCH_E2E_SUSTAINED"] = "0"
+    _log("falling back to a host-CPU measurement (degraded)")
+    try:
+        # Fixed slack ON TOP of the child's own budget: the budget is a
+        # soft cap (a stage started near the edge runs past it), so a
+        # kill at exactly child_budget would discard an almost-finished
+        # measurement in precisely the constrained case this exists for.
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=None,
+            timeout=child_budget + 120.0, text=True)
+    except Exception as e:  # noqa: BLE001 — any child fault ends the fallback
+        _log(f"cpu fallback failed: {type(e).__name__}: {e}")
+        return None, 1
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if obj.get("value") is None:
+                # The child also measured nothing; its null diagnostic
+                # would shadow the parent's richer TPU failure records
+                # (and lacks the cpu marker) — fall through to ours.
+                _log("cpu fallback child measured nothing")
+                return None, 1
+            return line, proc.returncode
+    return None, 1
+
+
 def _backend_init_with_timeout(timeout_s: float):
-    """Initialize the JAX backend on a daemon thread, bounded in time.
+    """Initialize the JAX backend, bounded in time.
 
     A wedged axon tunnel can make ``jax.devices()`` HANG forever rather
     than raise (observed: >90 min stuck in backend init) — a failure
     mode that bypasses the retry/backoff machinery entirely, since no
     exception ever surfaces.  Returns the device list, or None on
-    timeout (the caller emits the diagnostic JSON line and exits, so
-    the driver records a parseable artifact instead of a killed
-    process with no output).  Raises if init raised.
+    timeout (the caller falls back / emits the diagnostic JSON line, so
+    the driver records a parseable artifact instead of a killed process
+    with no output).  Raises if init raised.  Thin wrapper over the
+    shared daemon-thread bound in ``utils/platform.init_devices`` (an
+    explicit ``CUTDET_INIT_TIMEOUT`` env override wins there).
     """
-    import threading
+    from cut_detection_tpu.utils.platform import init_devices
 
-    devices: list = []
-    error: list = []
-
-    def init():
-        try:
-            import jax
-
-            devices.append(jax.devices())
-        except BaseException as e:  # noqa: BLE001 — report any init fault
-            error.append(e)
-
-    t = threading.Thread(target=init, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if error:
-        raise error[0]
-    if not devices:
+    try:
+        return init_devices(default_timeout=timeout_s)
+    except TimeoutError:
         return None
-    return devices[0]
 
 
 def main() -> None:
+    if os.environ.get("CUTDET_BENCH_FORCE_CPU") == "1":
+        # Fallback-child mode (_cpu_fallback): pin JAX to the host CPU
+        # before any backend touch so the wedged tunnel is never dialed.
+        from cut_detection_tpu.utils.platform import force_cpu
+
+        force_cpu()
     # Batch 128 measured fastest on the v5e (70.6k vs 60.6k at 256 — see
     # docs/PERFORMANCE.md) and matches the CLI's default batch size.
     batch = int(os.environ.get("BENCH_BATCH", 128))
@@ -602,6 +668,10 @@ def main() -> None:
     if _backend_init_with_timeout(init_timeout) is None:
         _log(f"backend init did not complete within {init_timeout:.0f}s "
              "(wedged tunnel?)")
+        line, rc = _cpu_fallback(requested)
+        if line is not None:
+            print(line)
+            sys.exit(rc)
         print(json.dumps({
             "metric": "frames/sec/chip, 256x144 uint8 -> classify",
             "value": None, "unit": "frames/sec", "vs_baseline": None,
@@ -625,7 +695,12 @@ def main() -> None:
             _log(f"classify[{rung}]: all attempts failed, "
                  "falling back down the precision ladder")
     if ours is None:
-        # Nothing measured at all: emit a diagnostic line, exit non-zero.
+        # Nothing measured at all on this backend: try the host-CPU
+        # fallback before settling for a null diagnostic line.
+        line, rc = _cpu_fallback(requested)
+        if line is not None:
+            print(line)
+            sys.exit(rc)
         # Same {requested, measured, failures} shape as the partial-
         # degradation case so consumers parse one schema.
         print(json.dumps({
@@ -672,6 +747,17 @@ def main() -> None:
         # surface even when the headline classify ran clean.
         result["degraded"] = {"requested": requested, "measured": precision,
                               "failures": degraded}
+    if os.environ.get("CUTDET_BENCH_FORCE_CPU") == "1":
+        # Fallback-child mode: make the degradation unmistakable — this
+        # is a host-CPU number, not a chip number.
+        d = result.setdefault("degraded", {"requested": requested,
+                                           "measured": precision,
+                                           "failures": degraded})
+        d["platform"] = "cpu"
+        d["requested"] = os.environ.get("CUTDET_BENCH_REQUESTED",
+                                        d.get("requested"))
+        d["note"] = ("TPU backend unreachable; host-CPU fallback "
+                     "measurement (not a chip number)")
     print(json.dumps(result))
 
 

@@ -486,7 +486,12 @@ def _make_handler(state: _State):
                 return
             # Warm the serving-shape step too (still outside the lock:
             # in-flight requests keep running on the old model), so the
-            # swap doesn't hand the next request a cold compile.
+            # swap doesn't hand the next request a cold compile.  The
+            # warmup is compile-dominated (host-side, ~100s cold); its
+            # device execution is ONE serving-shape batch (~ms), so the
+            # interference with an in-flight request's device queue is
+            # negligible — holding the lock through the compile would
+            # instead block every request behind it.
             # Defaults to the server's --no-warmup policy; {"warmup":
             # true/false} overrides.  A warmup failure must NOT discard
             # the already-validated model — the first request just pays
@@ -695,8 +700,6 @@ def main(args=None) -> None:
     from cut_detection_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    import jax
 
     if ns.cpu:
         from cut_detection_tpu.utils.platform import force_cpu

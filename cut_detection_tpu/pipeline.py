@@ -273,14 +273,15 @@ def classify_video(
         # preloaded batches were actually built with; a silent mismatch
         # would over/under-consume frames (PreloadedDecode carries the
         # parameters for exactly this check, so a bare (source, loader)
-        # tuple — which can't be validated — is rejected too).
-        pre_bs = getattr(preloaded, "batch_size", None)
-        pre_rs = getattr(preloaded, "resize", None)
-        if pre_bs is None or pre_rs is None:
+        # tuple — which can't be validated — is rejected too).  An
+        # isinstance check (not a None-field sentinel) so resize=None
+        # (native-resolution decode) stays a valid configuration.
+        if not isinstance(preloaded, PreloadedDecode):
             preloaded[1].close()
             raise TypeError(
                 "preloaded must be the PreloadedDecode handle returned "
                 "by start_decode_ahead")
+        pre_bs, pre_rs = preloaded.batch_size, preloaded.resize
         if pre_bs != batch_size or pre_rs != resize:
             preloaded[1].close()
             raise ValueError(

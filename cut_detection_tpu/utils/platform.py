@@ -30,8 +30,13 @@ def init_devices(default_timeout: float | None = None):
     """
     import jax
 
-    timeout = float(os.environ.get("CUTDET_INIT_TIMEOUT",
-                                   default_timeout or 0))
+    try:
+        timeout = float(os.environ.get("CUTDET_INIT_TIMEOUT") or
+                        default_timeout or 0)
+    except ValueError:
+        # A malformed override (CUTDET_INIT_TIMEOUT=abc) must not crash
+        # every CLI at startup; fall back to the caller's default.
+        timeout = float(default_timeout or 0)
     if timeout <= 0:
         return jax.devices()
     import threading

@@ -177,6 +177,9 @@ def test_main_total_failure_still_emits_json(monkeypatch, capsys):
         raise RuntimeError("dead chip")
 
     monkeypatch.setattr(bench, "bench_ours", always_fail)
+    # Pin the CPU fallback off: this test covers the everything-failed
+    # diagnostic line (the fallback's own tests live above).
+    monkeypatch.setattr(bench, "_cpu_fallback", lambda req: (None, 1))
     with pytest.raises(SystemExit) as ei:
         bench.main()
     assert ei.value.code == 1
@@ -303,12 +306,149 @@ def test_backend_init_timeout_emits_json(monkeypatch, capsys):
     line instead of a killed process with no output."""
     monkeypatch.setattr(bench, "_backend_init_with_timeout",
                         lambda t: None)
+    # The CPU fallback fires first now; this test pins the both-failed
+    # path (fallback child also produced nothing).
+    monkeypatch.setattr(bench, "_cpu_fallback", lambda req: (None, 1))
     with pytest.raises(SystemExit) as ei:
         bench.main()
     assert ei.value.code == 1
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] is None
     assert payload["degraded"]["failures"][0]["stage"] == "backend-init"
+
+
+def test_cpu_fallback_subprocess_env(monkeypatch):
+    """_cpu_fallback strips the axon sitecustomize, pins the CPU
+    platform, shrinks the flagship knobs, and returns the child's final
+    JSON line."""
+    import subprocess
+
+    captured = {}
+
+    def fake_run(cmd, *, env, **kw):
+        captured["cmd"] = cmd
+        captured["env"] = env
+
+        class P:
+            stdout = 'noise\n{"value": 7.0}\n'
+            returncode = 0
+        return P()
+
+    monkeypatch.setenv("PYTHONPATH", "/root/.axon_site:/elsewhere")
+    monkeypatch.delenv("CUTDET_BENCH_FORCE_CPU", raising=False)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    line, rc = bench._cpu_fallback("uint8_chain")
+    assert rc == 0 and json.loads(line)["value"] == 7.0
+    env = captured["env"]
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["CUTDET_BENCH_FORCE_CPU"] == "1"
+    assert env["CUTDET_BENCH_REQUESTED"] == "uint8_chain"
+    assert env["BENCH_PRECISION"] == "float32"
+    assert ".axon_site" not in env["PYTHONPATH"]
+    assert "/elsewhere" in env["PYTHONPATH"]
+    assert captured["cmd"][0] == sys.executable
+
+
+def test_cpu_fallback_keeps_non_sitecustomize_axon_paths(monkeypatch):
+    """The PYTHONPATH filter drops the axon sitecustomize dir, not every
+    entry containing the letters 'axon'."""
+    import subprocess
+
+    captured = {}
+
+    def fake_run(cmd, *, env, **kw):
+        captured["env"] = env
+
+        class P:
+            stdout = '{"value": 1.0}\n'
+            returncode = 0
+        return P()
+
+    monkeypatch.setenv("PYTHONPATH",
+                       "/root/.axon_site:/home/jaxon/libs:/opt/axon_site/")
+    monkeypatch.delenv("CUTDET_BENCH_FORCE_CPU", raising=False)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._cpu_fallback("uint8_chain")
+    parts = captured["env"]["PYTHONPATH"].split(":")
+    assert "/home/jaxon/libs" in parts
+    assert "/root/.axon_site" not in parts
+    assert "/opt/axon_site/" not in parts
+
+
+def test_cpu_fallback_rejects_child_null_line(monkeypatch):
+    """A fallback child that measured nothing (value: null) must not
+    shadow the parent's richer diagnostic — the fallback reports
+    failure instead of relaying the child's line."""
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        class P:
+            stdout = '{"value": null, "degraded": {"measured": null}}\n'
+            returncode = 1
+        return P()
+
+    monkeypatch.delenv("CUTDET_BENCH_FORCE_CPU", raising=False)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._cpu_fallback("uint8_chain") == (None, 1)
+
+
+def test_cpu_fallback_never_recurses(monkeypatch):
+    monkeypatch.setenv("CUTDET_BENCH_FORCE_CPU", "1")
+    assert bench._cpu_fallback("uint8_chain") == (None, 1)
+
+
+def test_cpu_fallback_can_be_disabled(monkeypatch):
+    monkeypatch.delenv("CUTDET_BENCH_FORCE_CPU", raising=False)
+    monkeypatch.setenv("BENCH_CPU_FALLBACK", "0")
+    assert bench._cpu_fallback("uint8_chain") == (None, 1)
+
+
+def test_backend_init_hang_triggers_cpu_fallback(monkeypatch, capsys):
+    """A hung backend init now re-runs on the host CPU and relays the
+    child's JSON line with rc=0 instead of recording value: null."""
+    monkeypatch.setattr(bench, "_backend_init_with_timeout", lambda t: None)
+    monkeypatch.setattr(
+        bench, "_cpu_fallback",
+        lambda req: ('{"value": 9.0, "degraded": {"platform": "cpu"}}', 0))
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 0
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["degraded"]["platform"] == "cpu"
+
+
+def test_all_rungs_failed_triggers_cpu_fallback(monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_E2E", "0")
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    monkeypatch.setenv("BENCH_RETRIES", "1")
+
+    def always_fail(*a, **k):
+        raise RuntimeError("UNAVAILABLE: relay wedged")
+
+    monkeypatch.setattr(bench, "bench_ours", always_fail)
+    monkeypatch.setattr(bench, "_cpu_fallback",
+                        lambda req: ('{"value": 9.0}', 0))
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 0
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 9.0
+
+
+def test_child_mode_marks_degraded_platform(monkeypatch, capsys):
+    """In fallback-child mode the JSON line is unmistakably a host-CPU
+    number: degraded.platform=cpu plus the original requested rung."""
+    monkeypatch.setenv("BENCH_E2E", "0")
+    monkeypatch.setenv("CUTDET_BENCH_FORCE_CPU", "1")
+    monkeypatch.setenv("CUTDET_BENCH_REQUESTED", "uint8_chain")
+    monkeypatch.setenv("BENCH_PRECISION", "float32")
+    monkeypatch.setattr(bench, "bench_ours", lambda *a, **k: 500.0)
+    monkeypatch.setattr(bench, "bench_reference", lambda *a, **k: 40.0)
+    bench.main()
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] == 500.0
+    assert payload["degraded"]["platform"] == "cpu"
+    assert payload["degraded"]["requested"] == "uint8_chain"
+    assert "not a chip number" in payload["degraded"]["note"]
 
 
 def test_backend_init_with_timeout_completes():

@@ -190,3 +190,14 @@ def test_init_devices_timeout_and_passthrough(monkeypatch):
     hang.devices = boom
     with pytest.raises(RuntimeError, match="exploded"):
         plat.init_devices()
+
+
+def test_init_devices_malformed_timeout_env(monkeypatch):
+    """Empty or non-numeric CUTDET_INIT_TIMEOUT must not crash every CLI
+    at startup — fall back to the caller's default bound."""
+    from cut_detection_tpu.utils import platform as plat
+
+    for bad in ("", "abc"):
+        monkeypatch.setenv("CUTDET_INIT_TIMEOUT", bad)
+        assert len(plat.init_devices()) >= 1          # default: unbounded
+        assert len(plat.init_devices(default_timeout=30)) >= 1

@@ -546,6 +546,24 @@ def test_decode_ahead_closed_on_preprocess_reject(synthetic_video):
     assert pre[1]._stop.is_set()
 
 
+def test_decode_ahead_native_resolution_accepted(synthetic_video):
+    """resize=None (native-resolution decode) is a valid preloaded
+    configuration: the handle validation is an isinstance check, not a
+    None-field sentinel, so segment_many(resize=None) keeps working
+    with decode-ahead pipelining on."""
+    from cut_detection_tpu.pipeline import start_decode_ahead
+
+    pre = start_decode_ahead(synthetic_video, batch_size=32, resize=None)
+    conf, pred, stats = classify_video(
+        synthetic_video, batch_size=32, resize=None, print_every=0,
+        preloaded=pre)
+    conf2, pred2, _ = classify_video(
+        synthetic_video, batch_size=32, resize=None, print_every=0)
+    assert stats.frames == len(pred)
+    np.testing.assert_array_equal(pred, pred2)
+    np.testing.assert_array_equal(conf, conf2)
+
+
 def test_prefetch_on_close_fires_exactly_once(synthetic_video):
     """PrefetchLoader's on_close callback fires once no matter how many
     paths close the loader (explicit close x2 + end-of-drain)."""
