@@ -21,11 +21,20 @@ failure, and the JSON line is emitted (with a ``degraded`` field
 describing what happened) as long as ANY rung measured.  Only a total
 failure exits non-zero.
 
+A tunnel that HANGS (rather than raises) is also covered: backend init
+and every hardware stage run under wall-clock bounds (`_bounded`), a
+timeout classifies as transient, and when nothing measures on the
+device at all the bench re-execs itself on the host CPU backend
+(`_cpu_fallback`) so the artifact still records a real — clearly
+``degraded.platform=cpu``-marked — number.
+
 Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_SECONDS, BENCH_PRECISION,
 BENCH_E2E (0 to skip), BENCH_E2E_FRAMES (per-repeat clip),
 BENCH_E2E_REPEATS, BENCH_E2E_SUSTAINED (long-clip run), BENCH_E2E_WORKERS,
 BENCH_TIME_BUDGET (seconds, soft cap on total wall), BENCH_RETRIES,
-BENCH_BACKOFF (comma-separated sleep seconds).
+BENCH_BACKOFF (comma-separated sleep seconds), BENCH_STAGE_TIMEOUT
+(per-attempt hang bound, default 900s), BENCH_CPU_FALLBACK (0 disables
+the host-CPU last resort), BENCH_INIT_TIMEOUT (backend-init bound).
 """
 
 from __future__ import annotations
@@ -74,6 +83,47 @@ def _is_transient(msg: str) -> bool:
         return True
     low = msg.lower()
     return any(m.lower() in low for m in _TRANSIENT_MARKERS)
+
+
+def _bounded(fn, what: str, timeout: float | None = None):
+    """Run ``fn()`` on a daemon thread, bounded in wall-clock time.
+
+    A wedged axon tunnel HANGS in-flight calls (compile, value fetch)
+    rather than raising (observed live: a CLI run stuck >20 min after a
+    probe succeeded minutes earlier) — a failure mode the exception-
+    driven retry machinery never sees.  On timeout this raises
+    ``TimeoutError`` whose message carries the DEADLINE transient
+    marker, so ``_retry`` backs off and the ladder (ultimately the CPU
+    fallback) takes over.  The abandoned thread may pin a stale tunnel
+    claim until it clears; that is still strictly better than the whole
+    bench stalling past the driver's patience with no JSON line.
+    """
+    if timeout is None:
+        timeout = float(os.environ.get("BENCH_STAGE_TIMEOUT", 900))
+    # Never let one stage sleep past the whole run's budget (with a 60s
+    # floor on the budget clamp so a nearly-spent run still gets a shot).
+    timeout = min(timeout, max(60.0, _remaining() - 60.0))
+    import threading
+
+    out: list = []
+    err: list = []
+
+    def work():
+        try:
+            out.append(fn())
+        except BaseException as e:  # noqa: BLE001 — relay faults take many types
+            err.append(e)
+
+    t = threading.Thread(target=work, daemon=True, name=f"bench-{what}")
+    t.start()
+    t.join(timeout)
+    if err:
+        raise err[0]
+    if not out:
+        raise TimeoutError(
+            f"DEADLINE: {what} still running after {timeout:.0f}s "
+            "(wedged tunnel?)")
+    return out[0]
 
 
 def _retry(fn, what: str, attempts: int | None = None,
@@ -384,9 +434,11 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
         os.remove(cache_path)
 
     # One short warm pass so jit compile is not billed to any repeat.
-    _retry(lambda: classify_video(clip, frame_limit=256, print_every=0,
-                                  precision=precision,
-                                  decode_workers=decode_workers),
+    _retry(lambda: _bounded(
+        lambda: classify_video(clip, frame_limit=256, print_every=0,
+                               precision=precision,
+                               decode_workers=decode_workers),
+        "e2e-warmup"),
            "e2e-warmup", record=degraded)
 
     runs = []
@@ -405,8 +457,10 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
                 break
         try:
             out, scores = _retry(
-                lambda: _e2e_once(clip, out_csv, precision, decode_workers,
-                                  scores, cache_path),
+                lambda: _bounded(
+                    lambda: _e2e_once(clip, out_csv, precision,
+                                      decode_workers, scores, cache_path),
+                    f"e2e-repeat{r}"),
                 f"e2e-repeat{r}", attempts=2, record=degraded)
             runs.append(out)
         except Exception:
@@ -435,9 +489,11 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
                                  f"cutdet_bench_{sustained_frames}.mp4"),
                     sustained_frames)
                 t0 = time.perf_counter()
-                _, seg, stats = segment_video_file(
-                    sclip, out_csv, print_every=0, precision=precision,
-                    decode_workers=decode_workers)
+                _, seg, stats = _bounded(
+                    lambda: segment_video_file(
+                        sclip, out_csv, print_every=0, precision=precision,
+                        decode_workers=decode_workers),
+                    "e2e-sustained", timeout=est + 120.0)
                 wall = time.perf_counter() - t0
                 sustained = {
                     "frames": stats.frames,
@@ -686,8 +742,9 @@ def main() -> None:
     precision = requested
     for rung in ladder:
         try:
-            ours = _retry(lambda: bench_ours(batch, steps, seconds,
-                                             precision=rung),
+            ours = _retry(lambda: _bounded(
+                lambda: bench_ours(batch, steps, seconds, precision=rung),
+                f"classify[{rung}]"),
                           f"classify[{rung}]", record=degraded)
             precision = rung
             break

@@ -317,6 +317,49 @@ def test_backend_init_timeout_emits_json(monkeypatch, capsys):
     assert payload["degraded"]["failures"][0]["stage"] == "backend-init"
 
 
+def test_bounded_passes_value_and_exceptions(monkeypatch):
+    assert bench._bounded(lambda: 42, "x") == 42
+    with pytest.raises(ValueError, match="boom"):
+        bench._bounded(lambda: (_ for _ in ()).throw(ValueError("boom")),
+                       "x")
+
+
+def test_bounded_times_out_hung_stage(monkeypatch):
+    """A stage that HANGS (the wedged-tunnel failure mode: no exception,
+    no return) surfaces as a DEADLINE TimeoutError so the retry/ladder
+    machinery engages instead of the bench stalling forever."""
+    import time
+
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError, match="DEADLINE"):
+        bench._bounded(lambda: time.sleep(300), "hung", timeout=0.2)
+    assert time.monotonic() - t0 < 30  # explicit timeout respected
+
+    # The DEADLINE marker classifies as transient, so _retry backs off
+    # on it rather than failing fast.
+    assert bench._is_transient("DEADLINE: classify still running")
+
+
+def test_hung_measurement_falls_down_ladder_to_cpu(monkeypatch, capsys):
+    """main(): every rung hangs -> _bounded times out each -> the CPU
+    fallback's line is relayed with rc=0 (the full wedged-tunnel
+    story, end to end)."""
+    import time as _time
+
+    monkeypatch.setenv("BENCH_E2E", "0")
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    monkeypatch.setenv("BENCH_RETRIES", "1")
+    monkeypatch.setattr(bench, "_bounded",
+                        lambda fn, what, timeout=None: (_ for _ in ()).throw(
+                            TimeoutError(f"DEADLINE: {what} wedged")))
+    monkeypatch.setattr(bench, "_cpu_fallback",
+                        lambda req: ('{"value": 11.0}', 0))
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 0
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 11.0
+
+
 def test_cpu_fallback_subprocess_env(monkeypatch):
     """_cpu_fallback strips the axon sitecustomize, pins the CPU
     platform, shrinks the flagship knobs, and returns the child's final
