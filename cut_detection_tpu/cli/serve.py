@@ -8,7 +8,9 @@ reference's ``-v $(OUTPUT_LOC):/home/sources`` runner, Makefile:20-24).
 
 API (stdlib http.server; no extra dependencies):
 
-- ``GET  /healthz``                      -> {"status": "ok", ...}
+- ``GET  /healthz``                      -> {"status": "ok", ...}; turns
+  503/"stuck" when the device-liveness heartbeat goes stale (a hung
+  tunnel blocks forever instead of raising — ``--heartbeat-interval``)
 - ``GET  /metrics``                      -> request/queue/latency counters
 - ``POST /segment`` body {"input_path": ..., optional "output_path",
   "base_threshold", "blank_threshold", "batch_size", "frame_limit",
@@ -75,6 +77,89 @@ logger = logging.getLogger(__name__)
 _LATENCY_WINDOW = 512  # rolling sample window for percentile metrics
 
 
+class _DeviceHeartbeat(threading.Thread):
+    """Background device-liveness probe feeding ``/healthz``.
+
+    The observed worst failure mode of a tunneled accelerator is a HANG:
+    in-flight device calls block forever without raising, so the daemon
+    keeps accepting requests that will never finish and an HTTP health
+    check that only proves the process is alive stays green.  This
+    thread fetches a tiny on-device reduction every ``interval`` seconds
+    (sub-ms of device time; classify steps are ~ms, so a healthy-but-
+    busy device still answers promptly) and records the last success.
+    ``/healthz`` turns 503/"stuck" when that success is older than
+    ``stale_after`` — a duration-of-request check can't do this, because
+    a long video legitimately holds the device lock for minutes.
+
+    A wedged probe call itself never returns, so probes run on small
+    disposable threads with at most ``_MAX_OUTSTANDING`` in flight —
+    staleness keeps growing while they hang, and whichever one finally
+    completes (tunnel healed) resets the clock.  Completed requests also
+    reset it via :meth:`note_ok` (they prove the device end-to-end).
+    """
+
+    _MAX_OUTSTANDING = 4
+
+    def __init__(self, interval: float = 60.0,
+                 stale_after: float | None = None):
+        super().__init__(daemon=True, name="device-heartbeat")
+        self.interval = interval
+        self.stale_after = stale_after or max(3.0 * interval, 180.0)
+        self._meta = threading.Lock()
+        self._stop = threading.Event()
+        self._started_at = time.monotonic()
+        self._last_ok: float | None = None
+        self._last_err: str | None = None
+        self._outstanding = 0
+
+    def note_ok(self) -> None:
+        with self._meta:
+            self._last_ok = time.monotonic()
+
+    def _probe(self) -> None:
+        try:
+            import jax.numpy as jnp
+
+            # A value FETCH, not block_until_ready: through the relay
+            # only a fetch proves execution completed.
+            float(jnp.asarray(1.0) + jnp.asarray(1.0))
+            self.note_ok()
+            with self._meta:
+                self._last_err = None
+        except Exception as e:  # noqa: BLE001 — any fault is a liveness miss
+            with self._meta:
+                self._last_err = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            with self._meta:
+                self._outstanding -= 1
+
+    def run(self) -> None:
+        while not self._stop.wait(self.interval):
+            with self._meta:
+                if self._outstanding >= self._MAX_OUTSTANDING:
+                    continue  # hung probes piling up; staleness speaks
+                self._outstanding += 1
+            threading.Thread(target=self._probe, daemon=True,
+                             name="device-heartbeat-probe").start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def status(self) -> dict:
+        with self._meta:
+            last_ok, last_err = self._last_ok, self._last_err
+            outstanding = self._outstanding
+        ref = last_ok if last_ok is not None else self._started_at
+        age = time.monotonic() - ref
+        return {
+            "ok_age_s": round(age, 1),
+            "stale_after_s": self.stale_after,
+            "stuck": age > self.stale_after,
+            "outstanding_probes": outstanding,
+            "last_error": last_err,
+        }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("Serve the segmentation pipeline over HTTP.")
     p.add_argument("--host", type=str, default="127.0.0.1")
@@ -119,6 +204,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip compiling the serving-shape classify step "
                         "at startup (warmup is on by default so the "
                         "first request doesn't pay the XLA compile).")
+    p.add_argument("--heartbeat-interval", type=float, default=60.0,
+                   help="Seconds between device-liveness probes; "
+                        "/healthz turns 503 when the device has not "
+                        "answered for 3x this (a hung tunnel blocks "
+                        "forever instead of raising, which no "
+                        "process-alive check catches).  0 disables.")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -155,6 +246,7 @@ class _State:
         # request explicitly asks with {"warmup": true}).
         self.warmup_default = False
         self.nets = {}  # name -> GluedNet ("default" = self.net)
+        self.heartbeat: _DeviceHeartbeat | None = None
 
     def sweep_spool(self) -> int:
         """Delete spool files older than the TTL; returns count removed.
@@ -183,6 +275,10 @@ class _State:
             self.frames_total += frames
             self.wait_s = (self.wait_s + [wait])[-_LATENCY_WINDOW:]
             self.latency_s = (self.latency_s + [latency])[-_LATENCY_WINDOW:]
+        if self.heartbeat is not None:
+            # A completed request proves the device end-to-end; don't
+            # let an unlucky probe schedule mark a working daemon stuck.
+            self.heartbeat.note_ok()
 
     def metrics(self) -> dict:
         def pct(xs, q):
@@ -312,11 +408,18 @@ def _make_handler(state: _State):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {
-                    "status": "ok",
+                device = (state.heartbeat.status()
+                          if state.heartbeat is not None else None)
+                stuck = bool(device and device["stuck"])
+                # 503 (not 200 + a field) so plain HTTP health checks —
+                # load balancers, restart supervisors — catch a wedged
+                # device without parsing the body.
+                self._reply(503 if stuck else 200, {
+                    "status": "stuck" if stuck else "ok",
                     "requests_served": state.requests_served,
                     "precision": state.precision,
                     "models": ["default"] + sorted(state.nets),
+                    "device": device,
                 })
             elif self.path == "/metrics":
                 if self._authorized():
@@ -615,7 +718,8 @@ def make_server(host: str, port: int, precision: str = "float32",
                 keyfile: str | None = None,
                 client_ca: str | None = None,
                 decode_ahead: bool = True,
-                warmup: bool = False):
+                warmup: bool = False,
+                heartbeat_interval: float = 0.0):
     """Build (server, state) with the model preloaded.
 
     ``certfile``/``keyfile`` enable HTTPS; ``client_ca`` additionally
@@ -623,6 +727,8 @@ def make_server(host: str, port: int, precision: str = "float32",
     compiles + runs the serving-shape classify step for every loaded
     model before the server is returned (the CLI enables it by default;
     off here so tests constructing many servers stay fast).
+    ``heartbeat_interval`` > 0 starts the device-liveness probe feeding
+    ``/healthz`` (the CLI defaults it to 60s; off here for tests).
     """
     if client_ca and not certfile:
         raise ValueError("--client-ca requires --certfile/--keyfile")
@@ -652,6 +758,9 @@ def make_server(host: str, port: int, precision: str = "float32",
         state.nets[nm], _ = load_triplet_or_default(mdir, mname,
                                                     precision=precision)
     state.warmup_default = warmup
+    if heartbeat_interval > 0:
+        state.heartbeat = _DeviceHeartbeat(interval=heartbeat_interval)
+        state.heartbeat.start()
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     if certfile:
         # do_handshake_on_connect=False defers the TLS handshake to the
@@ -728,7 +837,8 @@ def main(args=None) -> None:
                             certfile=ns.certfile, keyfile=ns.keyfile,
                             client_ca=ns.client_ca,
                             decode_ahead=not ns.no_decode_ahead,
-                            warmup=not ns.no_warmup)
+                            warmup=not ns.no_warmup,
+                            heartbeat_interval=ns.heartbeat_interval)
     logging.info("Serving on %s:%d", ns.host, ns.port)
     try:
         server.serve_forever()

@@ -762,3 +762,74 @@ def test_serve_main_init_timeout_exits_3(monkeypatch, tmp_path):
     with pytest.raises(SystemExit) as ei:
         serve_mod.main(["--port", "0"])
     assert ei.value.code == 3
+
+
+def test_device_heartbeat_healthz(synthetic_video, tmp_path):
+    """With the heartbeat on, /healthz carries the device-liveness block
+    and turns 503/"stuck" when the last success goes stale (the hung-
+    tunnel failure mode a process-alive check can't see)."""
+    import time
+
+    from cut_detection_tpu.cli.serve import make_server
+
+    srv, state = make_server("127.0.0.1", 0, heartbeat_interval=0.1)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 10
+        data = None
+        while time.time() < deadline:
+            with urllib.request.urlopen(base + "/healthz") as resp:
+                data = json.loads(resp.read())
+            if data["device"] and data["device"]["ok_age_s"] < 5:
+                break
+            time.sleep(0.2)
+        assert data["status"] == "ok"
+        assert data["device"]["stuck"] is False
+        assert data["device"]["last_error"] is None
+
+        # Simulate a wedge: freeze probes and age the last success past
+        # the staleness bound.
+        state.heartbeat.stop()
+        with state.heartbeat._meta:
+            state.heartbeat._last_ok = (
+                time.monotonic() - state.heartbeat.stale_after - 1)
+        try:
+            with urllib.request.urlopen(base + "/healthz") as resp:
+                status, data = resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            status, data = e.code, json.loads(e.read())
+        assert status == 503
+        assert data["status"] == "stuck"
+        assert data["device"]["stuck"] is True
+
+        # A completed request proves the device end-to-end and resets
+        # the clock even with probes frozen.
+        state.record(0.0, 0.1, 10)
+        with urllib.request.urlopen(base + "/healthz") as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        srv.shutdown()
+
+
+def test_device_heartbeat_outstanding_probe_cap():
+    """Hung probes must not pile up unbounded: launches stop at the cap
+    and whatever finally completes resets the clock."""
+    from cut_detection_tpu.cli.serve import _DeviceHeartbeat
+
+    hb = _DeviceHeartbeat(interval=3600)  # never auto-fires in-test
+
+    # Fill the outstanding budget by hand.
+    with hb._meta:
+        hb._outstanding = hb._MAX_OUTSTANDING
+    # run()'s launch path skips when at the cap — emulate one tick.
+    with hb._meta:
+        at_cap = hb._outstanding >= hb._MAX_OUTSTANDING
+    assert at_cap
+
+    # A probe completing (tunnel healed) decrements and marks ok.
+    hb._probe()
+    assert hb.status()["stuck"] is False
+    assert hb.status()["outstanding_probes"] == hb._MAX_OUTSTANDING - 1
