@@ -39,6 +39,9 @@ lighter-weight option when TLS terminates at a fronting proxy.
 
 Device work is serialized through a lock — the chip is a single-program
 resource; concurrency belongs at the batch level, not the request level.
+``--data-parallel`` shards each request's frame batches over all visible
+devices (the batch CLI's flag, for the daemon): one serialized program,
+8× the frame throughput on a v5e-8.
 A queued request's HOST decode starts immediately though (decode-ahead
 into a bounded prefetch queue, ``--no-decode-ahead`` to disable).
 Prefetch SLOTS bound host memory: at most 2 decode pipelines exist at
@@ -204,6 +207,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip compiling the serving-shape classify step "
                         "at startup (warmup is on by default so the "
                         "first request doesn't pay the XLA compile).")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard each request's frame batches over all "
+                        "visible devices (the batch CLI's flag, for the "
+                        "daemon); request batch_size must be divisible "
+                        "by the device count.")
     p.add_argument("--heartbeat-interval", type=float, default=60.0,
                    help="Seconds between device-liveness probes; "
                         "/healthz turns 503 when the device has not "
@@ -247,6 +255,7 @@ class _State:
         self.warmup_default = False
         self.nets = {}  # name -> GluedNet ("default" = self.net)
         self.heartbeat: _DeviceHeartbeat | None = None
+        self.mesh = None  # data-parallel mesh shared by every request
 
     def sweep_spool(self) -> int:
         """Delete spool files older than the TTL; returns count removed.
@@ -303,7 +312,7 @@ class _State:
 
 
 def _warmup_net(net, batch_size: int = 128,
-                resize_hw: tuple = (144, 256)) -> float:
+                resize_hw: tuple = (144, 256), mesh=None) -> float:
     """Compile + execute the serving-shape classify step; returns seconds.
 
     The hardware smoke test measured the first request paying ~105 s of
@@ -318,7 +327,7 @@ def _warmup_net(net, batch_size: int = 128,
     from cut_detection_tpu.pipeline import make_classify_step
 
     t0 = time.time()
-    step = make_classify_step(net)
+    step = make_classify_step(net, mesh=mesh)
     conf, pred = step(net.bundle,
                       np.zeros((batch_size,) + tuple(resize_hw) + (3,),
                                np.uint8))
@@ -484,7 +493,7 @@ def _make_handler(state: _State):
                 try:
                     t1 = time.time()
                     out, seg, stats = segment_video_file(
-                        input_path, output_path, net=net,
+                        input_path, output_path, net=net, mesh=state.mesh,
                         print_every=0, preloaded=preloaded, **kwargs)
                 finally:
                     state.lock.release()
@@ -602,7 +611,7 @@ def _make_handler(state: _State):
             if req.get("warmup", state.warmup_default):
                 try:
                     logger.info("Reload warmup took %.1fs",
-                                _warmup_net(net))
+                                _warmup_net(net, mesh=state.mesh))
                 except Exception:
                     logger.exception(
                         "reload warmup failed; swapping anyway (first "
@@ -719,7 +728,8 @@ def make_server(host: str, port: int, precision: str = "float32",
                 client_ca: str | None = None,
                 decode_ahead: bool = True,
                 warmup: bool = False,
-                heartbeat_interval: float = 0.0):
+                heartbeat_interval: float = 0.0,
+                mesh=None):
     """Build (server, state) with the model preloaded.
 
     ``certfile``/``keyfile`` enable HTTPS; ``client_ca`` additionally
@@ -758,6 +768,7 @@ def make_server(host: str, port: int, precision: str = "float32",
         state.nets[nm], _ = load_triplet_or_default(mdir, mname,
                                                     precision=precision)
     state.warmup_default = warmup
+    state.mesh = mesh
     if heartbeat_interval > 0:
         state.heartbeat = _DeviceHeartbeat(interval=heartbeat_interval)
         state.heartbeat.start()
@@ -777,7 +788,8 @@ def make_server(host: str, port: int, precision: str = "float32",
         # compile loop.
         for nm, net in [("default", state.net)] + sorted(state.nets.items()):
             logger.info("Warming %r: serving-shape compile...", nm)
-            logger.info("Warmed %r in %.1fs", nm, _warmup_net(net))
+            logger.info("Warmed %r in %.1fs", nm,
+                        _warmup_net(net, mesh=state.mesh))
     return server, state
 
 
@@ -827,6 +839,13 @@ def main(args=None) -> None:
         raise SystemExit(3)
     logging.info("Using %s", devices[0].platform)
 
+    mesh = None
+    if ns.data_parallel and len(devices) > 1:
+        from cut_detection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        logging.info("Data-parallel over %d devices", len(devices))
+
     server, _ = make_server(ns.host, ns.port, ns.precision,
                             model_dir=ns.model_dir, model_name=ns.model_name,
                             spool_dir=ns.spool_dir,
@@ -838,7 +857,8 @@ def main(args=None) -> None:
                             client_ca=ns.client_ca,
                             decode_ahead=not ns.no_decode_ahead,
                             warmup=not ns.no_warmup,
-                            heartbeat_interval=ns.heartbeat_interval)
+                            heartbeat_interval=ns.heartbeat_interval,
+                            mesh=mesh)
     logging.info("Serving on %s:%d", ns.host, ns.port)
     try:
         server.serve_forever()

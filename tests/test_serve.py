@@ -833,3 +833,53 @@ def test_device_heartbeat_outstanding_probe_cap():
     hb._probe()
     assert hb.status()["stuck"] is False
     assert hb.status()["outstanding_probes"] == hb._MAX_OUTSTANDING - 1
+
+
+def test_serve_data_parallel_mesh(synthetic_video, tmp_path):
+    """make_server(mesh=...) shards each request's frame batches over
+    the virtual 8-device mesh; the CSV matches the single-device serve
+    byte for byte (the daemon-side analog of segment_videos
+    --data-parallel)."""
+    from cut_detection_tpu.cli.serve import make_server
+    from cut_detection_tpu.parallel.mesh import make_mesh
+
+    srv, state = make_server("127.0.0.1", 0, mesh=make_mesh())
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        out = str(tmp_path / "dp.csv")
+        status, data = _post(base + "/segment", {
+            "input_path": synthetic_video,
+            "output_path": out,
+            "batch_size": 64,  # divisible by the 8-way data axis
+        })
+        assert status == 200 and data["stats"]["frames"] > 0
+
+        # Indivisible batch sizes are a client error, not a daemon crash.
+        status, data = _post(base + "/segment", {
+            "input_path": synthetic_video, "batch_size": 63,
+        })
+        assert status == 400
+        assert "divisible" in data["error"] or "shard" in data["error"]
+    finally:
+        srv.shutdown()
+
+    srv2, _ = make_server("127.0.0.1", 0)
+    port2 = srv2.server_address[1]
+    t2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        out2 = str(tmp_path / "sd.csv")
+        status, _ = _post(f"http://127.0.0.1:{port2}/segment", {
+            "input_path": synthetic_video,
+            "output_path": out2,
+            "batch_size": 64,
+        })
+        assert status == 200
+    finally:
+        srv2.shutdown()
+    with open(tmp_path / "dp.csv", "rb") as a, \
+            open(tmp_path / "sd.csv", "rb") as b:
+        assert a.read() == b.read()
