@@ -114,6 +114,7 @@ class _DeviceHeartbeat(threading.Thread):
         self._last_ok: float | None = None
         self._last_err: str | None = None
         self._outstanding = 0
+        self._last_launch = self._started_at
 
     def note_ok(self) -> None:
         with self._meta:
@@ -138,10 +139,21 @@ class _DeviceHeartbeat(threading.Thread):
 
     def run(self) -> None:
         while not self._stop.wait(self.interval):
+            now = time.monotonic()
             with self._meta:
                 if self._outstanding >= self._MAX_OUTSTANDING:
-                    continue  # hung probes piling up; staleness speaks
+                    # Hung probes piling up — but if probes blocked on a
+                    # dead connection NEVER return, an idle daemon would
+                    # otherwise stay 503 forever after the tunnel heals
+                    # (no request arrives to reset the clock once a load
+                    # balancer pulls a stuck backend).  Let one fresh
+                    # probe through per stale_after window: recovery
+                    # stays possible and thread leakage during an
+                    # extended outage stays bounded (~1/stale_after).
+                    if now - self._last_launch < self.stale_after:
+                        continue
                 self._outstanding += 1
+                self._last_launch = now
             threading.Thread(target=self._probe, daemon=True,
                              name="device-heartbeat-probe").start()
 
@@ -215,9 +227,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heartbeat-interval", type=float, default=60.0,
                    help="Seconds between device-liveness probes; "
                         "/healthz turns 503 when the device has not "
-                        "answered for 3x this (a hung tunnel blocks "
-                        "forever instead of raising, which no "
-                        "process-alive check catches).  0 disables.")
+                        "answered for 3x this (floor 180s — a hung "
+                        "tunnel blocks forever instead of raising, "
+                        "which no process-alive check catches).  "
+                        "0 disables.")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -297,7 +310,7 @@ class _State:
             return round(xs[min(len(xs) - 1, int(q * len(xs)))], 3)
 
         with self.meta_lock:
-            return {
+            out = {
                 "uptime_s": round(time.time() - self.started, 1),
                 "requests_served": self.requests_served,
                 "requests_failed": self.requests_failed,
@@ -309,6 +322,11 @@ class _State:
                 "latency_p95_s": pct(self.latency_s, 0.95),
                 "precision": self.precision,
             }
+        if self.heartbeat is not None:
+            # Full (unredacted) liveness detail lives behind the auth
+            # gate; /healthz carries the redacted form.
+            out["device"] = self.heartbeat.status()
+        return out
 
 
 def _warmup_net(net, batch_size: int = 128,
@@ -419,6 +437,10 @@ def _make_handler(state: _State):
             if self.path == "/healthz":
                 device = (state.heartbeat.status()
                           if state.heartbeat is not None else None)
+                if device and state.auth_token:
+                    # /healthz is the one unauthenticated endpoint; raw
+                    # exception text belongs behind the gate (/metrics).
+                    device.pop("last_error", None)
                 stuck = bool(device and device["stuck"])
                 # 503 (not 200 + a field) so plain HTTP health checks —
                 # load balancers, restart supervisors — catch a wedged

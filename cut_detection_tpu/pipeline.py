@@ -363,7 +363,12 @@ def classify_video(
                 stats.frames, stats.frames_per_sec, stats.steady_frames_per_sec)
 
     if cache_path:
-        np.savez(cache_path, conf=conf_np, pred=pred_np)
+        # Atomic write: the cache exists to survive a killed process —
+        # a kill mid-savez must leave no half-written file for the
+        # resumed run (or a concurrent reader) to choke on.
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, conf=conf_np, pred=pred_np)
+        os.replace(tmp, cache_path)
         logger.info("Cached scores to %s", cache_path)
     return conf_np, pred_np, stats
 

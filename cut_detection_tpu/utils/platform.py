@@ -39,24 +39,40 @@ def init_devices(default_timeout: float | None = None):
         timeout = float(default_timeout or 0)
     if timeout <= 0:
         return jax.devices()
+    return bounded_call(jax.devices, timeout, "JAX backend init")
+
+
+def bounded_call(fn, timeout: float, what: str):
+    """Run ``fn()`` on a daemon thread, bounded in wall-clock time.
+
+    The shared primitive behind every hang bound in the repo (backend
+    init here, bench.py's per-stage bounds): a wedged device tunnel
+    HANGS calls rather than raising, which no exception handler can
+    catch.  Returns ``fn()``'s value; re-raises its exception; raises
+    ``TimeoutError`` (message carries the DEADLINE marker the bench's
+    transient classifier matches) when the call outlives ``timeout``.
+    The abandoned thread is left to the OS — it may pin a stale tunnel
+    claim until it clears, which is still strictly better than the
+    caller hanging forever.
+    """
     import threading
 
-    devices: list = []
-    error: list = []
+    out: list = []
+    err: list = []
 
-    def init():
+    def work():
         try:
-            devices.append(jax.devices())
-        except BaseException as e:  # noqa: BLE001 — surface init faults
-            error.append(e)
+            out.append(fn())
+        except BaseException as e:  # noqa: BLE001 — surface any fault
+            err.append(e)
 
-    t = threading.Thread(target=init, daemon=True)
+    t = threading.Thread(target=work, daemon=True, name=f"bounded-{what}")
     t.start()
     t.join(timeout)
-    if error:
-        raise error[0]
-    if not devices:
+    if err:
+        raise err[0]
+    if not out:
         raise TimeoutError(
-            f"JAX backend init did not complete within {timeout:.0f}s "
+            f"DEADLINE: {what} did not complete within {timeout:.0f}s "
             "(wedged tunnel?)")
-    return devices[0]
+    return out[0]

@@ -498,3 +498,41 @@ def test_backend_init_with_timeout_completes():
     # On the (forced-CPU) test backend init completes well inside the
     # bound and the device list is returned.
     assert bench._backend_init_with_timeout(30) is not None
+
+
+def test_stage_bound_timeout_not_retried_in_place(monkeypatch):
+    """A _bounded DEADLINE means the abandoned attempt may still be
+    executing — _retry must move on (ladder fallback) instead of
+    launching a contending/racing same-stage retry."""
+    monkeypatch.setenv("BENCH_BACKOFF", "0")
+    calls = {"n": 0}
+
+    def hung():
+        calls["n"] += 1
+        raise TimeoutError("DEADLINE: classify[x] did not complete")
+
+    record = []
+    with pytest.raises(TimeoutError):
+        bench._retry(hung, "classify[x]", attempts=4, record=record)
+    assert calls["n"] == 1  # no same-stage retry
+    assert len(record) == 1
+
+    # Relay-raised deadline text in a NON-TimeoutError still retries
+    # (that error reached us, so nothing is left running).
+    calls["n"] = 0
+
+    def relay_deadline():
+        calls["n"] += 1
+        raise RuntimeError("DEADLINE_EXCEEDED: rpc timed out")
+
+    with pytest.raises(RuntimeError):
+        bench._retry(relay_deadline, "x", attempts=3)
+    assert calls["n"] == 3
+
+
+def test_malformed_stage_timeout_env(monkeypatch):
+    """BENCH_STAGE_TIMEOUT=15m must not deterministically fail every
+    rung of the crash-proof bench — the default bound applies."""
+    for bad in ("15m", "", "abc"):
+        monkeypatch.setenv("BENCH_STAGE_TIMEOUT", bad)
+        assert bench._bounded(lambda: 7, "x") == 7

@@ -617,3 +617,28 @@ def test_classify_step_memoized_per_net():
     assert make_classify_step(net, device_resize=(144, 256)) is s3
     net2, _ = load_default_net()
     assert make_classify_step(net2) is not s1
+
+
+def test_score_cache_written_atomically(synthetic_video, tmp_path,
+                                        monkeypatch):
+    """The resume cache is written via tmp+rename: a process killed
+    mid-write leaves either no cache or a complete one, never a corrupt
+    npz for the resumed run to choke on."""
+    import numpy as _np
+
+    cache = str(tmp_path / "scores.npz")
+    replaced = []
+    real_replace = os.replace
+
+    def spy_replace(src, dst):
+        replaced.append((src, dst))
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", spy_replace)
+    classify_video(synthetic_video, batch_size=32, print_every=0,
+                   cache_path=cache)
+    assert any(dst == cache and src.endswith(".tmp.npz")
+               for src, dst in replaced)
+    with _np.load(cache) as data:
+        assert data["conf"].shape == data["pred"].shape
+    assert not os.path.exists(cache + ".tmp.npz")

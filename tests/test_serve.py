@@ -883,3 +883,63 @@ def test_serve_data_parallel_mesh(synthetic_video, tmp_path):
     with open(tmp_path / "dp.csv", "rb") as a, \
             open(tmp_path / "sd.csv", "rb") as b:
         assert a.read() == b.read()
+
+
+def test_heartbeat_relaunches_after_stale_window():
+    """Probes stuck at the outstanding cap must not block recovery
+    forever: after one stale_after window a fresh probe launches anyway
+    (bounded thread leakage, guaranteed heal detection)."""
+    import time
+
+    from cut_detection_tpu.cli.serve import _DeviceHeartbeat
+
+    hb = _DeviceHeartbeat(interval=60)
+    with hb._meta:
+        hb._outstanding = hb._MAX_OUTSTANDING
+        hb._last_launch = time.monotonic() - hb.stale_after - 1
+    # Emulate one run() tick's launch decision.
+    now = time.monotonic()
+    with hb._meta:
+        blocked = (hb._outstanding >= hb._MAX_OUTSTANDING
+                   and now - hb._last_launch < hb.stale_after)
+    assert not blocked  # stale window elapsed: a fresh probe may launch
+
+    with hb._meta:
+        hb._last_launch = time.monotonic()
+    now = time.monotonic()
+    with hb._meta:
+        blocked = (hb._outstanding >= hb._MAX_OUTSTANDING
+                   and now - hb._last_launch < hb.stale_after)
+    assert blocked  # within the window: capped
+
+
+def test_healthz_redacts_error_detail_when_authed(synthetic_video):
+    """With an auth token configured, unauthenticated /healthz must not
+    leak raw exception text; the full detail moves to gated /metrics."""
+    import time
+
+    from cut_detection_tpu.cli.serve import make_server
+
+    srv, state = make_server("127.0.0.1", 0, auth_token="sekrit",
+                             heartbeat_interval=3600)
+    with state.heartbeat._meta:
+        state.heartbeat._last_err = "RuntimeError: internal /host/path"
+        state.heartbeat._last_ok = time.monotonic()
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(base + "/healthz") as resp:
+            h = json.loads(resp.read())
+        assert h["device"] is not None
+        assert "last_error" not in h["device"]
+
+        req = urllib.request.Request(
+            base + "/metrics",
+            headers={"Authorization": "Bearer sekrit"})
+        with urllib.request.urlopen(req) as resp:
+            m = json.loads(resp.read())
+        assert m["device"]["last_error"] == "RuntimeError: internal /host/path"
+    finally:
+        srv.shutdown()
