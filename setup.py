@@ -65,6 +65,7 @@ setup(
             "cutdet-serve=cut_detection_tpu.cli.serve:main",
             "cutdet-label=cut_detection_tpu.cli.labelling:main",
             "cutdet-bench=cut_detection_tpu.cli.bench_pipeline:main",
+            "cutdet-doctor=cut_detection_tpu.cli.doctor:main",
         ]
     },
 )
