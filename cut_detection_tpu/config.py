@@ -21,9 +21,13 @@ from typing import Any
 # bf16; uint8_pool stores the in-layer conv activations uint8 (pooling
 # commutes with monotonic per-channel quantization); uint8_chain further
 # keeps the *inter-layer* pooled activations as raw uint8, folding the
-# dequant+BN affine into the next conv's weights (models/layers.py).
+# dequant+BN affine into the next conv's weights (models/layers.py);
+# int8_mxu additionally stores activations int8 (-128 shift folded into
+# the affine) and runs the convs int8 x int8 -> int32 on the MXU with
+# per-output-channel weight scales — the only rung that quantizes
+# WEIGHTS, so its logits deviate ~1e-2 relative (accuracy-gated).
 PRECISION_CHOICES = ("float32", "bfloat16", "bfloat16_full", "uint8_pool",
-                     "uint8_chain")
+                     "uint8_chain", "int8_mxu")
 
 
 @dataclasses.dataclass(frozen=True)

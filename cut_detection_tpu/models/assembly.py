@@ -49,7 +49,7 @@ class GluedNet:
         self.bundle = jax.tree_util.tree_map(jnp.asarray, bundle)
         self.model_params = model_params
         self.precision = precision
-        if precision in ("uint8_pool", "uint8_chain"):
+        if precision in ("uint8_pool", "uint8_chain", "int8_mxu"):
             self._warn_if_stats_unconverged(bundle)
         self.conv_cfg = model_params.conv_config()
         self.linear_cfg = model_params.linear_config()

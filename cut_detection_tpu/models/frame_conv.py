@@ -52,20 +52,25 @@ def apply_frame_conv(params, state, x, cfg: ConvNetConfig, *,
     space-to-depth matmul (ops/fused_frontend.py) — eval-mode only, used by
     the bf16 perf paths where float reassociation is already accepted.
     """
-    if str(compute_dtype) == "uint8_chain" and not train \
+    if str(compute_dtype) in ("uint8_chain", "int8_mxu") and not train \
             and all("gamma" in p for p in params):
-        # Deferred-affine uint8 storage: raw uint8 pooled activations
-        # between blocks, dequant+BN folded into the next conv's weights
-        # (layers.apply_conv_block_u8).  Eval-only; requires BN in every
-        # block (the scales derive from its running stats).
+        # Deferred-affine quantized storage: raw uint8/int8 pooled
+        # activations between blocks, dequant+BN folded into the next
+        # conv's weights (layers.apply_conv_block_u8 / _i8; int8_mxu
+        # additionally runs the convs as int8 x int8 -> int32 on the
+        # MXU).  Eval-only; requires BN in every block (the scales
+        # derive from its running stats).
         from cut_detection_tpu.models.layers import (
+            apply_conv_block_i8,
             apply_conv_block_u8,
             dequantize_u8,
         )
 
+        block = (apply_conv_block_i8 if str(compute_dtype) == "int8_mxu"
+                 else apply_conv_block_u8)
         affine = None
         for p, s in zip(params, state):
-            x, affine = apply_conv_block_u8(p, s, x, affine)
+            x, affine = block(p, s, x, affine)
         x = dequantize_u8(x, affine)
         x = adaptive_avg_pool(x, cfg.average_pool_size)
         x = flatten_nchw_order(x)

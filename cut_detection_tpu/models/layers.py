@@ -25,8 +25,10 @@ from cut_detection_tpu.ops.nn import (
     batch_norm_infer,
     batch_norm_train,
     conv2d_same,
+    conv2d_same_i8,
     linear,
     max_pool,
+    quantize_kernel_i8,
 )
 
 
@@ -94,7 +96,7 @@ def apply_conv_block(params, state, x, *, train: bool = False,
                              params["gamma"], params["beta"])
         # bf16 inter-layer activations, matching bfloat16_full's traffic.
         return x.astype(jnp.bfloat16), state
-    if str(compute_dtype) in ("uint8_pool", "uint8_chain"):
+    if str(compute_dtype) in ("uint8_pool", "uint8_chain", "int8_mxu"):
         compute_dtype = "bfloat16_full"  # train / BN-less fallback
     x = conv2d_same(x, params["kernel"], params["bias"],
                     compute_dtype=compute_dtype)
@@ -168,6 +170,63 @@ def dequantize_u8(q, affine, dtype=jnp.bfloat16):
     """Materialize dense activations from a (q, (a, b)) pair."""
     a, b = affine
     return (q.astype(jnp.float32) * a + b).astype(dtype)
+
+
+def apply_conv_block_i8(params, state, x, affine, *, pool_window: int = 3):
+    """One eval-mode conv block of the ``int8_mxu`` precision rung.
+
+    Same deferred-affine chain as :func:`apply_conv_block_u8`, with two
+    changes that remove uint8_chain's measured cap (the materialized
+    uint8->bf16 operand conversion, docs/PERFORMANCE.md):
+
+    - activations are stored as **int8** (the uint8 code shifted by
+      -128; max pooling commutes with the monotonic shift), so the next
+      conv consumes them directly — no conversion tensor; the shift
+      folds into the pending affine's bias: ``dense = q*a + b`` with
+      ``b += 128*a``;
+    - the conv itself runs int8 x int8 -> int32 on the MXU with
+      per-output-channel weight scales (``quantize_kernel_i8``) — exact
+      integer accumulation; weight rounding (~0.4% per channel) is the
+      rung's ONLY approximation beyond uint8_chain, accuracy-gated like
+      the other fast rungs.
+
+    First layer: ``affine=None`` with uint8 frames (preprocess folded
+    into the kernel) runs int8 too via ``x = (x_u8 - 128) + 128*1``;
+    a dense float first input falls back to the bf16 conv.
+    Returns ``(q_i8, (a, b))``.
+    """
+    kernel = params["kernel"].astype(jnp.float32)
+    if affine is None and x.dtype != jnp.uint8:
+        z = conv2d_same(x, kernel, params["bias"],
+                        compute_dtype="bfloat16_full")
+    else:
+        if affine is None:
+            # Raw uint8 pixels: represent as int8 + constant 128.
+            a = jnp.ones((kernel.shape[2],), jnp.float32)
+            b = jnp.full((kernel.shape[2],), 128.0, jnp.float32)
+            bias = params["bias"]
+            x = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+        else:
+            a, b = affine
+            bias = params["bias"]
+        kq = kernel * a[None, None, :, None]
+        kq_i8, so = quantize_kernel_i8(kq)
+        zi = conv2d_same_i8(x, kq_i8)
+        # Constant term conv(b*1, W) + bias — exact on the zero-padding
+        # border ring (edge pixels see fewer taps), one batch-1 conv.
+        ring = conv2d_same(
+            jnp.broadcast_to(b, (1, x.shape[1], x.shape[2], b.shape[0])),
+            kernel, bias, compute_dtype="bfloat16_full")
+        z = zi.astype(jnp.float32) * so + ring.astype(jnp.float32)
+    z = jax.nn.relu(z)
+    scale = conv_quantize_scale(state)
+    q = jnp.clip(jnp.rint(z / scale) - 128.0, -128.0, 127.0).astype(jnp.int8)
+    q = max_pool(q, pool_window)
+    s = params["gamma"] * jax.lax.rsqrt(state["var"] + BN_EPS)
+    t = params["beta"] - state["mean"] * s
+    a_next = scale * s.astype(jnp.float32)
+    b_next = t.astype(jnp.float32) + 128.0 * a_next
+    return q, (a_next, b_next)
 
 
 def init_fc_block(key, in_f: int, out_f: int, *, batch_norm: bool = True,

@@ -70,6 +70,42 @@ def conv2d_same(x, kernel, bias=None, *, precision=None, compute_dtype=None):
     return out
 
 
+def conv2d_same_i8(x_i8, kernel_i8):
+    """3x3 'same' convolution with int8 operands, exact int32 accumulation.
+
+    The MXU runs int8 matmuls at 2x its bf16 rate (v5e: 394 vs 197
+    TOPS), and — the actual motivation (docs/PERFORMANCE.md: uint8_chain
+    is capped by the materialized uint8->bf16 operand conversion) — an
+    int8 conv consumes the quantized activation DIRECTLY from HBM with
+    no conversion tensor at all.  int8 x int8 -> int32 is exact, so the
+    rung's only approximation is the per-output-channel weight
+    quantization (quantize_kernel_i8).
+    """
+    return jax.lax.conv_general_dilated(
+        x_i8,
+        kernel_i8,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def quantize_kernel_i8(kernel):
+    """Per-output-channel symmetric int8 weight quantization.
+
+    ``kernel ~= kernel_i8 * scale[None, None, None, :]`` with scale =
+    amax/127 per output channel — the standard symmetric scheme; worst-
+    case representation error is scale/2 (~0.4% of the channel's weight
+    range), the ``int8_mxu`` rung's only source of logit deviation.
+    """
+    kernel = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+    scale = jnp.maximum(amax / 127.0, 1e-12).astype(jnp.float32)
+    k_i8 = jnp.clip(jnp.rint(kernel / scale), -127, 127).astype(jnp.int8)
+    return k_i8, scale
+
+
 def max_pool(x, window: int = 3, stride: int | None = None):
     """Max pooling, floor mode, NHWC.
 

@@ -119,7 +119,12 @@ def make_classify_step(net: GluedNet, *,
                 from cut_detection_tpu.models.assembly import fold_preprocess
 
                 bundle = fold_preprocess(bundle)
-                x = x.astype(jnp.float32)
+                if net.compute_dtype != "int8_mxu":
+                    # int8_mxu consumes the raw uint8 frames directly
+                    # (layer 1 runs int8 with a -128 shift folded into
+                    # its constant term); every other mode feeds the
+                    # folded conv dense float.
+                    x = x.astype(jnp.float32)
             else:
                 x = normalize_frames(x)
         logits = net_apply(bundle, x)

@@ -59,7 +59,8 @@ def test_float32_full_corpus(tmp_path):
 
 
 @pytest.mark.parametrize("precision", ["bfloat16", "bfloat16_full",
-                                       "uint8_pool", "uint8_chain"])
+                                       "uint8_pool", "uint8_chain",
+                                       "int8_mxu"])
 def test_bf16_modes_hold_accuracy(precision, tmp_path):
     name, n = CORPUS[0]  # corpus_a exercises all three classes
     out = str(tmp_path / f"{name}_{precision}.csv")
@@ -109,7 +110,8 @@ def test_float32_adversarial_exact(tmp_path):
 
 
 @pytest.mark.parametrize("precision", ["bfloat16", "bfloat16_full",
-                                       "uint8_pool", "uint8_chain"])
+                                       "uint8_pool", "uint8_chain",
+                                       "int8_mxu"])
 def test_fast_rungs_hold_on_adversarial_clip(precision, tmp_path):
     """Every fast rung must stay within the tuned adversarial gate: the
     near-boundary blocks may glue either way, but the solid blocks (97%
@@ -124,7 +126,7 @@ NAT = ("corpus_nat", 590)
 
 
 @pytest.mark.parametrize("precision", ["bfloat16_full", "uint8_pool",
-                                       "uint8_chain"])
+                                       "uint8_chain", "int8_mxu"])
 def test_fast_rungs_exact_on_naturalistic_clip(precision, tmp_path):
     """On the 1/f-textured panning clip — the closest stand-in for real
     broadcast footage this environment can synthesize (VERDICT r2

@@ -31,6 +31,79 @@ def test_modes_agree_on_argmax(frames):
                                       logits[p].argmax(1))
 
 
+def test_int8_mxu_matches_float32_decisions(frames):
+    """int8_mxu: int8 x int8 -> int32 convs with per-output-channel
+    weight scales.  Weight rounding (~0.4%/channel) adds only marginally
+    to the chain rung's activation rounding; class decisions on
+    non-borderline inputs must not move.  Fed both ways: raw uint8
+    frames (the production fold path, layer 1 int8) and dense float
+    (the GluedNet contract, layer 1 bf16 fallback)."""
+    f32 = load_default_net(precision="float32")[0]
+    i8 = load_default_net(precision="int8_mxu")[0]
+    ref = np.asarray(f32(frames))
+    dense = np.asarray(i8(frames))
+    assert np.abs(ref - dense).max() < 0.7
+    np.testing.assert_array_equal(ref.argmax(1), dense.argmax(1))
+
+    # Production path: fold + raw uint8 frames through _glued_apply.
+    import jax
+    import jax.numpy as jnp
+
+    from cut_detection_tpu.models.assembly import _glued_apply, fold_preprocess
+
+    u8 = (frames * 255.0).round().astype(np.uint8)
+    for precision in ("float32", "int8_mxu"):
+        net = load_default_net(precision=precision)[0]
+        bundle = jax.tree_util.tree_map(jnp.asarray,
+                                        fold_preprocess(net.bundle))
+        x = u8 if precision == "int8_mxu" else u8.astype(np.float32)
+        out = np.asarray(_glued_apply(bundle, x, conv_cfg=net.conv_cfg,
+                                      linear_cfg=net.linear_cfg,
+                                      compute_dtype=net.compute_dtype))
+        if precision == "float32":
+            ref_u8 = out
+        else:
+            assert np.abs(ref_u8 - out).max() < 0.7
+            np.testing.assert_array_equal(ref_u8.argmax(1), out.argmax(1))
+
+
+def test_int8_mxu_interlayer_tensor_is_int8():
+    """The inter-layer activations are int8 and the convs accumulate in
+    int32 in the jaxpr — no bf16 operand conversion anywhere on the
+    conv path (the rung's reason to exist)."""
+    import jax
+
+    net = load_default_net(precision="int8_mxu")[0]
+    x = np.zeros((2, 144, 256, 3), np.uint8)
+    from cut_detection_tpu.models.assembly import _glued_apply, fold_preprocess
+
+    bundle = fold_preprocess(jax.device_get(net.bundle))
+    jaxpr = str(jax.make_jaxpr(
+        lambda b, xx: _glued_apply(b, xx, conv_cfg=net.conv_cfg,
+                                   linear_cfg=net.linear_cfg,
+                                   compute_dtype="int8_mxu"))(bundle, x))
+    for shape in ("i8[2,48,85,48]", "i8[2,16,28,48]", "i8[2,5,9,48]"):
+        assert shape in jaxpr, shape
+    # int32 conv outputs at the three pre-pool shapes.
+    for shape in ("i32[2,144,256,48]", "i32[2,48,85,48]", "i32[2,16,28,48]"):
+        assert shape in jaxpr, shape
+
+
+def test_quantize_kernel_i8_roundtrip():
+    """Per-output-channel symmetric quantization: reconstruction error
+    bounded by scale/2 per weight; zero kernels survive (no div by 0)."""
+    from cut_detection_tpu.ops.nn import quantize_kernel_i8
+
+    rng = np.random.default_rng(5)
+    k = rng.standard_normal((3, 3, 8, 16)).astype(np.float32)
+    k[..., 0] = 0.0  # a dead output channel
+    ki, s = quantize_kernel_i8(k)
+    assert np.asarray(ki).dtype == np.int8
+    recon = np.asarray(ki).astype(np.float32) * np.asarray(s)
+    err = np.abs(recon - k)
+    assert (err <= np.asarray(s)[None, None, None, :] / 2 + 1e-9).all()
+
+
 def test_uint8_chain_deferred_affine_identity():
     """The uint8_chain weight fold is exact in real arithmetic:
     conv(q*a + b, W) == conv(q, W*diag(a)) + conv(b*ones, W), including
