@@ -47,6 +47,39 @@ def test_data_parallel_classify_matches_single_device():
 
 
 @needs_8
+def test_data_parallel_int8_rung_matches_single_device():
+    """The integer-conv rung composes with mesh sharding: int8
+    activations shard over the data axis exactly like the float rungs
+    (the GSPMD partitioner handles integer dtypes the same way)."""
+    from cut_detection_tpu.models.assembly import load_default_net
+
+    from cut_detection_tpu.models.assembly import _glued_apply
+    from cut_detection_tpu.ops.preprocess import normalize_frames
+
+    net, _ = load_default_net(precision="int8_mxu")
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_sharded_classify_step(net, mesh)
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, size=(16, 36, 64, 3), dtype=np.uint8)
+    bundle = replicate(mesh, net.bundle)
+    conf, pred = step(bundle, shard_batch(mesh, frames))
+
+    # Single-device baseline through the SAME code path, JITTED (the
+    # sharded step normalizes explicitly, and XLA's fused rounding at
+    # the rint quantization boundaries differs from eager by up to one
+    # quantization step — so the honest comparison is jit vs jit;
+    # measured: sharded == single-device-jit EXACTLY).
+    logits1 = jax.jit(lambda b, u8: _glued_apply(
+        b, normalize_frames(u8), conv_cfg=net.conv_cfg,
+        linear_cfg=net.linear_cfg,
+        compute_dtype=net.compute_dtype))(net.bundle, frames)
+    conf1 = np.max(np.asarray(logits1), axis=1)
+    pred1 = np.argmax(np.asarray(logits1), axis=1)
+    np.testing.assert_allclose(np.asarray(conf), conf1, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pred), pred1)
+
+
+@needs_8
 def test_tensor_parallel_classify_matches_replicated():
     from cut_detection_tpu.models.assembly import load_default_net
 
