@@ -225,13 +225,10 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
         def body(i, acc):
             # Iteration-dependent input so XLA can't hoist or dedupe.
             x = frames_u8 + i.astype(jnp.uint8)
-            if fold:
-                # int8_mxu consumes raw uint8 frames (layer 1 runs int8
-                # with the -128 shift folded into its constant term).
-                xx = x if net.compute_dtype == "int8_mxu" \
-                    else x.astype(jnp.float32)
-            else:
-                xx = normalize_frames(x)
+            from cut_detection_tpu.models.assembly import folded_input
+
+            xx = folded_input(x, net.compute_dtype) if fold \
+                else normalize_frames(x)
             logits = _glued_apply(bundle, xx,
                                   conv_cfg=net.conv_cfg,
                                   linear_cfg=net.linear_cfg,

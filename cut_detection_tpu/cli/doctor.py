@@ -40,7 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(backend init also honors CUTDET_INIT_TIMEOUT).")
     p.add_argument("--full", action="store_true",
                    help="Also compile + run the serving-shape classify "
-                        "step (minutes on a cold compilation cache).")
+                        "step (minutes on a cold compilation cache; this "
+                        "check's bound is max(--timeout, 600s) so a "
+                        "legitimate cold compile doesn't false-fail).")
     p.add_argument("--json", action="store_true",
                    help="Emit one JSON line instead of human-readable "
                         "check output.")
@@ -67,9 +69,18 @@ def _check(name: str, fn, results: list, required: bool = True) -> bool:
 
 
 def _backend_init(timeout: float):
-    from cut_detection_tpu.utils.platform import init_devices
+    # bounded_call directly (not init_devices): the doctor's explicit
+    # --timeout must win — init_devices gives CUTDET_INIT_TIMEOUT
+    # precedence, and a machine-wide 1500 s setting would silently turn
+    # a fast supervisor gate into a 25-minute hang.
+    from cut_detection_tpu.utils.platform import bounded_call
 
-    devices = init_devices(default_timeout=timeout)
+    def init():
+        import jax
+
+        return jax.devices()
+
+    devices = bounded_call(init, timeout, "backend init")
     return {"platform": devices[0].platform, "devices": len(devices)}
 
 
@@ -113,15 +124,24 @@ def _decode_cv2():
     import numpy as np
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "cutdet_doctor_probe.mp4")
-    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 36))
-    for _ in range(3):
-        wr.write(np.zeros((36, 64, 3), np.uint8))
-    wr.release()
-    from cut_detection_tpu.data.video import VideoFrameSource
+    # Unique probe path (concurrent doctors — a cron gate plus a manual
+    # run — must not race on one file), always cleaned up.
+    fd, path = tempfile.mkstemp(prefix="cutdet_doctor_", suffix=".mp4")
+    os.close(fd)
+    try:
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                             (64, 36))
+        for _ in range(3):
+            wr.write(np.zeros((36, 64, 3), np.uint8))
+        wr.release()
+        from cut_detection_tpu.data.video import VideoFrameSource
 
-    frames = sum(1 for _ in VideoFrameSource(path, resize=None))
-    os.unlink(path)
+        frames = sum(1 for _ in VideoFrameSource(path, resize=None))
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
     if frames != 3:
         raise ValueError(f"decoded {frames} frames, expected 3")
     return {"cv2": cv2.__version__}
@@ -146,7 +166,12 @@ def _native_lib():
 
 
 def main(args=None) -> None:
-    ns = build_parser().parse_args(args)
+    parser = build_parser()
+    ns = parser.parse_args(args)
+    if ns.timeout <= 0:
+        # init_devices treats <=0 as "unbounded" while bounded_call
+        # would fail instantly — neither is what anyone means; reject.
+        parser.error("--timeout must be positive")
     from cut_detection_tpu.utils.logging import setup_logging
 
     setup_logging()
@@ -162,7 +187,11 @@ def main(args=None) -> None:
         compute_ok = _check("device-compute",
                             lambda: _device_compute(ns.timeout), results)
         if compute_ok and ns.full:
-            _check("classify-step", lambda: _classify_step(ns.timeout),
+            # A cold-cache compile legitimately takes minutes; a 120 s
+            # default bound would false-fail the documented warm-up use
+            # (and kill the compile mid-flight, risking a stale claim).
+            _check("classify-step",
+                   lambda: _classify_step(max(ns.timeout, 600.0)),
                    results)
     _check("decode-cv2", _decode_cv2, results)
     # Optional accelerations: their absence is a warning, not a failure

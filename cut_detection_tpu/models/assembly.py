@@ -50,7 +50,7 @@ class GluedNet:
         self.model_params = model_params
         self.precision = precision
         if precision in ("uint8_pool", "uint8_chain", "int8_mxu"):
-            self._warn_if_stats_unconverged(bundle)
+            self._warn_if_stats_unconverged(bundle, precision)
         self.conv_cfg = model_params.conv_config()
         self.linear_cfg = model_params.linear_config()
         self._jitted = functools.partial(
@@ -63,12 +63,12 @@ class GluedNet:
         )
 
     @staticmethod
-    def _warn_if_stats_unconverged(bundle) -> None:
-        """uint8_pool derives its quantization scales from the BN
-        running statistics; a checkpoint whose stats still sit at their
-        init values (mean 0, var 1) would clip real activations hard.
-        Detectable at load time, so warn loudly rather than serve
-        silently-wrong logits (docs/PERFORMANCE.md)."""
+    def _warn_if_stats_unconverged(bundle, precision: str) -> None:
+        """The quantized rungs derive their activation scales from the
+        BN running statistics; a checkpoint whose stats still sit at
+        their init values (mean 0, var 1) would clip real activations
+        hard.  Detectable at load time, so warn loudly rather than
+        serve silently-wrong logits (docs/PERFORMANCE.md)."""
         import numpy as np
 
         for s in bundle["conv"]["state"]:
@@ -79,13 +79,13 @@ class GluedNet:
             if (np.abs(mean).max() < 1e-6
                     and np.abs(var - 1.0).max() < 1e-6):
                 logger.warning(
-                    "uint8_pool: a conv layer's BN running statistics "
-                    "look uninitialized (mean=0, var=1).  The uint8 "
-                    "quantization scale is derived from these stats, so "
+                    "%s: a conv layer's BN running statistics "
+                    "look uninitialized (mean=0, var=1).  The quantized "
+                    "activation scale is derived from these stats, so "
                     "an untrained/unconverged checkpoint will clip "
                     "activations and degrade accuracy — use float32/"
                     "bfloat16_full for such models, or train until the "
-                    "running stats converge.")
+                    "running stats converge.", precision)
                 return
 
     @property
@@ -153,6 +153,19 @@ def fold_preprocess(bundle):
         "conv": {"params": conv_params, "state": bundle["conv"]["state"]},
         "linear": bundle["linear"],
     }
+
+
+def folded_input(frames_u8, compute_dtype):
+    """Input for a ``fold_preprocess``'d bundle, per precision rung.
+
+    ``int8_mxu`` consumes the raw uint8 frames directly (layer 1 runs
+    int8 with the -128 shift folded into its constant term); every other
+    mode feeds the folded conv dense float32.  The single home for this
+    dispatch — bench.py and pipeline.make_classify_step share it.
+    """
+    if str(compute_dtype) == "int8_mxu":
+        return frames_u8
+    return frames_u8.astype(jnp.float32)
 
 
 def load_and_glue_nets(param_file: str, conv_file: str, linear_file: str,

@@ -116,15 +116,13 @@ def make_classify_step(net: GluedNet, *,
                 x = resize_bilinear(x, device_resize[0], device_resize[1],
                                     exact=True)
             if fold:
-                from cut_detection_tpu.models.assembly import fold_preprocess
+                from cut_detection_tpu.models.assembly import (
+                    fold_preprocess,
+                    folded_input,
+                )
 
                 bundle = fold_preprocess(bundle)
-                if net.compute_dtype != "int8_mxu":
-                    # int8_mxu consumes the raw uint8 frames directly
-                    # (layer 1 runs int8 with a -128 shift folded into
-                    # its constant term); every other mode feeds the
-                    # folded conv dense float.
-                    x = x.astype(jnp.float32)
+                x = folded_input(x, net.compute_dtype)
             else:
                 x = normalize_frames(x)
         logits = net_apply(bundle, x)

@@ -80,6 +80,27 @@ def test_data_parallel_int8_rung_matches_single_device():
 
 
 @needs_8
+def test_data_parallel_int8_fold_path_matches_single_device():
+    """The PRODUCTION multi-chip route for the int8 rung: the pipeline
+    classify step (fold_preprocess + raw uint8 frames, so layer 1 runs
+    the uint8->int8 shift + int8 conv) jitted WITH a mesh must match the
+    same step without one — GSPMD partitioning of the integer layer-1
+    graph included."""
+    from cut_detection_tpu.models.assembly import load_default_net
+    from cut_detection_tpu.pipeline import make_classify_step
+
+    net, _ = load_default_net(precision="int8_mxu")
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(16, 36, 64, 3), dtype=np.uint8)
+    conf_m, pred_m = make_classify_step(net, mesh=mesh)(net.bundle, frames)
+    conf_1, pred_1 = make_classify_step(net)(net.bundle, frames)
+    np.testing.assert_allclose(np.asarray(conf_m), np.asarray(conf_1),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pred_m), np.asarray(pred_1))
+
+
+@needs_8
 def test_tensor_parallel_classify_matches_replicated():
     from cut_detection_tpu.models.assembly import load_default_net
 
