@@ -19,14 +19,15 @@ pytestmark = pytest.mark.skipif(not os.path.isfile(CLIP),
                                 reason="golden fixtures missing")
 
 
-@pytest.mark.parametrize("precision", ["float32", "uint8_pool"])
+@pytest.mark.parametrize("precision", ["float32", "uint8_pool",
+                                       "int8_mxu"])
 def test_pipeline_matches_golden_csv(tmp_path, precision):
-    """float32 is the byte-parity promise; the uint8_pool row is a
-    regression PIN of behavior verified on hardware (docs/PARITY.md) —
-    the mode itself promises accuracy-gating, not byte parity, so if an
-    XLA rounding change ever moves a borderline frame, re-verify on
-    hardware and update the pin rather than treating it as a product
-    bug."""
+    """float32 is the byte-parity promise; the uint8_pool and int8_mxu
+    rows are regression PINs of behavior verified against the oracle
+    (docs/PARITY.md) — those modes promise accuracy-gating, not byte
+    parity, so if an XLA rounding change ever moves a borderline frame,
+    re-verify on hardware and update the pin rather than treating it as
+    a product bug."""
     from cut_detection_tpu.pipeline import segment_video_file
 
     out = str(tmp_path / f"out_{precision}.csv")
