@@ -74,6 +74,13 @@ class PrefetchLoader:
     _SENTINEL = object()
 
     def __init__(self, iterable, depth: int = 2, on_close=None):
+        if depth <= 0:
+            # queue.Queue(maxsize=0) is UNBOUNDED — a depth of 0 would
+            # prefetch the entire stream into host RAM, the opposite of
+            # what any caller means.  "No prefetch" is: don't wrap.
+            raise ValueError(
+                f"PrefetchLoader depth must be >= 1, got {depth} "
+                "(for no prefetch, iterate the source directly)")
         self.iterable = iterable
         self.depth = depth
         self._stop = threading.Event()

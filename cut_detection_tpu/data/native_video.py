@@ -20,8 +20,6 @@ from cut_detection_tpu.ops.resize import reference_resize_dims
 
 logger = logging.getLogger(__name__)
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native", "libcutdet_decoder.so")
 
@@ -63,6 +61,10 @@ def _load():
         lib.vd_read_frame.argtypes = [ctypes.c_void_p, u8p]
         lib.vd_read_stashed.argtypes = [ctypes.c_void_p, u8p]
         lib.vd_seek_frame.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        if hasattr(lib, "vd_seek_frame_from"):  # stale .so tolerance
+            lib.vd_seek_frame_from.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_int64,
+                                               ctypes.c_int64]
         lib.vd_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -98,6 +100,9 @@ class NativeVideoSource:
         # (frameID/data.py:20).
         self.video_info = {"fps": int(fps.value), "length": int(n.value),
                            "width": int(w.value), "height": int(h.value)}
+        # frames_read tracks the stream POSITION (seek() fast-forwards
+        # it), so the early-end warning compares position vs length
+        # instead of reporting skipped frames as losses.
         self.frames_read = 0
         self.frames_failed = 0
         self._stashed = False
@@ -108,11 +113,38 @@ class NativeVideoSource:
             self.new_width = self.new_height = None
 
     def seek(self, frame_index: int) -> None:
-        """Position so the next frame returned is ``frame_index``."""
-        ret = self._lib.vd_seek_frame(self._handle, frame_index)
-        if ret == 0:
-            raise IOError(f"seek to frame {frame_index} failed")
-        self._stashed = ret == 2
+        """Position so the next frame returned is ``frame_index``.
+
+        Keyframe seek + decode-forward.  When the pts->index mapping
+        jumps PAST the target (VFR / NTSC-rate rounding), the decoder
+        reports overshoot (return code 3) instead of silently handing
+        back a later frame, and the seek retries from progressively
+        earlier anchors — ending at frame 0, where decode-forward is
+        exact by construction.  Raises IOError on hard failure so no
+        caller ever receives a mispositioned stream silently.
+        """
+        seek_from = getattr(self._lib, "vd_seek_frame_from", None)
+        if seek_from is None:  # stale pre-anchor .so: historic behavior
+            ret = self._lib.vd_seek_frame(self._handle, frame_index)
+            if ret == 0:
+                raise IOError(f"seek to frame {frame_index} failed")
+            self._stashed = ret == 2
+            self.frames_read = frame_index
+            return
+        anchors = [frame_index, max(0, frame_index - 64),
+                   max(0, frame_index - 512), 0]
+        ret = 0
+        for anchor in dict.fromkeys(anchors):  # dedup, keep order
+            ret = seek_from(self._handle, frame_index, anchor)
+            if ret == 2:
+                self._stashed = True
+                self.frames_read = frame_index
+                return
+            if ret == 0:
+                break  # hard failure; earlier anchors won't help
+        raise IOError(
+            f"seek to frame {frame_index} "
+            f"{'overshot from every anchor' if ret == 3 else 'failed'}")
 
     def _resize(self, frame: np.ndarray) -> np.ndarray:
         if self.new_width is None:

@@ -78,6 +78,12 @@ def open_video(video_path: str):
     _require_cv2()
     os.environ.setdefault("OPENCV_FFMPEG_CAPTURE_OPTIONS", "threads;0")
     cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        # The reference never checks (data.py:13-31) and would yield a
+        # silent empty stream; an unreadable file is an error, and the
+        # native backend already raises IOError for the same input —
+        # error behavior must not depend on which decoder was picked.
+        raise IOError(f"could not open video: {video_path}")
     fps = int(cap.get(cv2.CAP_PROP_FPS))
     length = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
@@ -236,9 +242,13 @@ class ParallelVideoReader:
         self.num_threads = max(1, min(num_threads, max(1, self.length // chunk_frames + 1)))
         self.num_chunks = max(1, -(-self.length // chunk_frames))
         self.frames_failed = 0
-        self._results: queue.Queue = queue.Queue(
-            maxsize=max_pending_chunks or 2 * self.num_threads
-        )
+        max_pending = max_pending_chunks or 2 * self.num_threads
+        self._results: queue.Queue = queue.Queue(maxsize=max_pending)
+        # In-flight window (see _worker): bounds decoding + queued +
+        # reorder-buffered chunks together, which the queue alone cannot
+        # (the consumer drains completed later chunks into its reorder
+        # dict while waiting on a slow one, freeing queue slots).
+        self._window = threading.Semaphore(max_pending)
         self._next_chunk = 0
         self._chunk_lock = threading.Lock()
         self._stop = threading.Event()
@@ -259,37 +269,61 @@ class ParallelVideoReader:
             return c
 
     def _worker(self) -> None:
-        dec = self._new_decoder()
+        try:
+            dec = self._new_decoder()
+        except Exception:
+            # This worker claimed nothing yet; peers pick up its chunks
+            # and the consumer's liveness check covers total death.
+            logger.exception("decode worker failed to construct a decoder")
+            return
         try:
             pos = -1  # current frame position of this decoder
             while not self._stop.is_set():
+                # Window bound: at most max_pending chunks in flight
+                # (decoding + queued + buffered out-of-order) — the
+                # consumer releases a permit per chunk EMITTED, so a slow
+                # chunk can't let its peers race arbitrarily far ahead
+                # and buffer unbounded frames in the reorder dict.
+                while not self._window.acquire(timeout=0.2):
+                    if self._stop.is_set():
+                        return
                 chunk = self._claim_chunk()
                 if chunk is None:
+                    self._window.release()
                     break
                 start = chunk * self.chunk_frames
                 end = min(start + self.chunk_frames, self.length)
                 # Overlap by one frame for the boundary check.
                 check = self.verify_seek and chunk > 0
                 read_from = start - 1 if check else start
-                if pos != read_from:
-                    dec.seek(read_from)
-                    pos = read_from
                 boundary = None
                 frames = []
                 ok = True
-                for i in range(end - read_from):
-                    frame = dec.read()
-                    if frame is None:
-                        ok = False
-                        break
-                    if self.new_width is not None:
-                        frame = _host_resize(frame, self.new_width,
-                                             self.new_height)
-                    if check and i == 0:
-                        boundary = frame
-                    else:
-                        frames.append(frame)
-                pos = end if ok else -1
+                try:
+                    if pos != read_from:
+                        dec.seek(read_from)
+                        pos = read_from
+                    for i in range(end - read_from):
+                        frame = dec.read()
+                        if frame is None:
+                            ok = False
+                            break
+                        if self.new_width is not None:
+                            frame = _host_resize(frame, self.new_width,
+                                                 self.new_height)
+                        if check and i == 0:
+                            boundary = frame
+                        else:
+                            frames.append(frame)
+                    pos = end if ok else -1
+                except Exception:
+                    # A raising decoder (inexact seek into EOF, corrupt
+                    # container) must not kill the thread silently — the
+                    # consumer would block forever on a chunk no one will
+                    # publish.  Publish the failure instead.
+                    logger.exception("decode worker failed on chunk %d",
+                                     chunk)
+                    boundary, frames, ok, pos = None, [], False, -1
                 self._results.put((chunk, boundary, frames, ok))
         finally:
             dec.close()
@@ -322,7 +356,18 @@ class ParallelVideoReader:
             dec = self._new_decoder()
             try:
                 if target > 0:
-                    dec.seek(target)
+                    try:
+                        dec.seek(target)
+                    except Exception:
+                        # A raising seek (duration-overestimated frame
+                        # count, EOF landing) means THIS target is bad,
+                        # not the heal: fall through to the earlier /
+                        # sequential-from-0 targets the docstring
+                        # promises.
+                        logger.warning(
+                            "Self-heal seek to frame %d failed; trying an "
+                            "earlier position.", target, exc_info=True)
+                        continue
                 check = None
                 for _ in range(start - target):
                     check = dec.read()
@@ -354,6 +399,13 @@ class ParallelVideoReader:
                         f = _host_resize(f, self.new_width, self.new_height)
                     frames.append(f)
                 return frames
+            except Exception:
+                # A raising read mid-attempt likewise fails only this
+                # target; the sequential-from-0 attempt remains.
+                logger.warning("Self-heal attempt from frame %d failed; "
+                               "trying an earlier position.", target,
+                               exc_info=True)
+                continue
             finally:
                 dec.close()
         return None
@@ -363,6 +415,33 @@ class ParallelVideoReader:
             raise RuntimeError(
                 "ParallelVideoReader is single-use: construct a new reader "
                 "to decode the video again.")
+        if self.length <= 0:
+            # Frame count is container metadata and can be absent
+            # (webm/mkv/streams).  The chunk plan needs a count; without
+            # one, decode sequentially to EOF — correct, just unparallel
+            # (the docstring's sequential-equivalence guarantee beats a
+            # silent zero-frame stream).
+            logger.warning(
+                "Container reports no frame count (%d); decoding "
+                "sequentially to EOF without chunk parallelism.",
+                self.length)
+            self._threads.append(None)  # arm the single-use guard
+            dec = self._new_decoder()
+            n = 0
+            try:
+                while True:
+                    frame = dec.read()
+                    if frame is None:
+                        break
+                    if self.new_width is not None:
+                        frame = _host_resize(frame, self.new_width,
+                                             self.new_height)
+                    n += 1
+                    yield frame
+            finally:
+                dec.close()
+                self.length = n  # observed count, for callers' accounting
+            return
         for t in range(self.num_threads):
             th = threading.Thread(target=self._worker, daemon=True,
                                   name=f"decode-{t}")
@@ -375,9 +454,26 @@ class ParallelVideoReader:
         try:
             while emit < self.num_chunks and not truncated:
                 while emit not in pending:
-                    chunk, boundary, frames, ok = self._results.get()
+                    try:
+                        chunk, boundary, frames, ok = self._results.get(
+                            timeout=5.0)
+                    except queue.Empty:
+                        # Liveness: if every worker exited without
+                        # publishing the chunk we need, blocking forever
+                        # would hang the pipeline (workers publish their
+                        # own failures, so this covers only construction
+                        # deaths and bugs).
+                        if (not any(t is not None and t.is_alive()
+                                    for t in self._threads)
+                                and self._results.empty()):
+                            raise RuntimeError(
+                                f"all decode workers exited without "
+                                f"producing chunk {emit} of "
+                                f"{self.num_chunks} ({self.file_path})")
+                        continue
                     pending[chunk] = (boundary, frames, ok)
                 boundary, frames, ok = pending.pop(emit)
+                self._window.release()  # one in-flight slot per emitted chunk
                 if boundary is not None and prev_last is not None:
                     if not np.array_equal(boundary, prev_last):
                         self.seek_mismatches += 1

@@ -158,14 +158,19 @@ int vd_read_frame(void* h, uint8_t* out_bgr) {
     return 1;
 }
 
-// Seek so the next vd_read_frame returns frame `index` (keyframe seek +
-// decode-forward, mirroring cv2's CAP_PROP_POS_FRAMES semantics).
-int vd_seek_frame(void* h, int64_t index) {
+// Seek so the next read returns frame `index`, starting the keyframe
+// seek from `anchor`'s timestamp (anchor <= index; an earlier anchor
+// gives the decoder more run-up when the pts->index mapping is uneven).
+// Returns: 2 = positioned exactly, target frame stashed (use
+// vd_read_stashed); 1 = positioned exactly, next decode is `index`;
+// 3 = OVERSHOT (the first frame at/after the seek point maps past
+// `index` — retry with an earlier anchor); 0 = hard failure.
+int vd_seek_frame_from(void* h, int64_t index, int64_t anchor) {
     auto* d = static_cast<Decoder*>(h);
     if (!d || d->fps <= 0) return 0;
     AVStream* st = d->fmt->streams[d->stream_index];
     int64_t ts = av_rescale_q(
-        static_cast<int64_t>(index / d->fps * AV_TIME_BASE),
+        static_cast<int64_t>(anchor / d->fps * AV_TIME_BASE),
         AVRational{1, AV_TIME_BASE}, st->time_base);
     if (av_seek_frame(d->fmt, d->stream_index, ts,
                       AVSEEK_FLAG_BACKWARD) < 0) {
@@ -182,24 +187,31 @@ int vd_seek_frame(void* h, int64_t index) {
             cur = static_cast<int64_t>(
                 av_q2d(st->time_base) * pts * d->fps + 0.5);
         }
-        if (cur >= index) {
-            // Push the frame back conceptually: emit it on next read by
-            // keeping it in d->frame is complex; instead convert on the
-            // next vd_read only if cur == index.  We stop one early by
-            // re-queueing: simplest correct behavior is to stop when the
-            // *next* decode would be `index`, so if cur == index we must
-            // deliver this very frame on the next read.  Achieve that by
-            // remembering it via av_frame_ref into a staging frame.
+        if (cur == index) {
+            // Stash: keep the decoded frame so the next read emits it
+            // (see vd_read_stashed).
             d->next_frame = cur;
-            if (cur == index) {
-                // Stash: move the decoded frame so vd_read_next_uses it.
-                // We re-inject by flagging; see vd_read_stashed below.
-                return 2;  // caller must use vd_read_stashed for this frame
-            }
-            return 1;
+            return 2;
+        }
+        if (cur > index) {
+            // Overshot: the mapping jumped past `index` (VFR/NTSC
+            // rounding).  Silently returning the wrong frame is the one
+            // unacceptable outcome — drop the held frame and tell the
+            // caller to retry from an earlier anchor.
+            av_frame_unref(d->frame);
+            d->next_frame = cur + 1;
+            return 3;
         }
         av_frame_unref(d->frame);
     }
+}
+
+// Back-compat entry (older callers): anchor == index; overshoot maps to
+// the historical "positioned" code so stale bindings keep functioning,
+// though new bindings should use vd_seek_frame_from and handle 3.
+int vd_seek_frame(void* h, int64_t index) {
+    int ret = vd_seek_frame_from(h, index, index);
+    return ret == 3 ? 1 : ret;
 }
 
 // After vd_seek_frame returned 2, fetch the already-decoded target frame.

@@ -642,3 +642,83 @@ def test_score_cache_written_atomically(synthetic_video, tmp_path,
     with _np.load(cache) as data:
         assert data["conf"].shape == data["pred"].shape
     assert not os.path.exists(cache + ".tmp.npz")
+
+
+def test_parallel_reader_worker_death_truncates_not_hangs(synthetic_video):
+    """A decode worker whose decoder RAISES (inexact seek into EOF, a
+    corrupt container) publishes the failure instead of dying silently —
+    the consumer truncates loudly (the reference's failure contract)
+    rather than blocking forever on a chunk no one will produce."""
+    from cut_detection_tpu.data import video as V
+
+    class RaisingAfterSeek:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def seek(self, idx):
+            if idx >= 64:
+                raise IOError("synthetic seek failure")
+            self.inner.seek(idx)
+
+        def read(self):
+            return self.inner.read()
+
+        def close(self):
+            self.inner.close()
+
+    reader = V.ParallelVideoReader(synthetic_video, resize=256,
+                                   num_threads=2, chunk_frames=64)
+    orig = reader._new_decoder
+    reader._new_decoder = lambda: RaisingAfterSeek(orig())
+    frames = list(reader)
+    # Chunks 0-1 decode (chunk 1's boundary seek is to frame 63, below
+    # the failure threshold); chunk 2's seek to frame 127 raises, the
+    # worker publishes ok=False, and the stream truncates at 128.
+    assert len(frames) == 128
+    assert reader.frames_failed > 0
+
+
+def test_parallel_reader_all_workers_dead_raises(synthetic_video):
+    """If every worker dies before publishing (decoder construction
+    failure), iteration raises instead of hanging forever."""
+    from cut_detection_tpu.data import video as V
+
+    reader = V.ParallelVideoReader(synthetic_video, resize=256,
+                                   num_threads=2, chunk_frames=64)
+    reader._new_decoder = lambda: (_ for _ in ()).throw(
+        RuntimeError("no decoder"))
+    with pytest.raises(RuntimeError, match="all decode workers exited"):
+        list(reader)
+
+
+def test_parallel_reader_no_frame_count_falls_back_sequential(
+        synthetic_video):
+    """A container reporting no frame count (webm/mkv/streams) decodes
+    sequentially to EOF instead of silently yielding zero frames."""
+    from cut_detection_tpu.data import video as V
+
+    ref = list(V.VideoFrameSource(synthetic_video, resize=256))
+    reader = V.ParallelVideoReader(synthetic_video, resize=256,
+                                   num_threads=2, chunk_frames=64)
+    reader.length = 0  # emulate absent metadata
+    frames = list(reader)
+    assert len(frames) == len(ref)
+    np.testing.assert_array_equal(frames[0], ref[0])
+    np.testing.assert_array_equal(frames[-1], ref[-1])
+    assert reader.length == len(ref)  # observed count recorded
+
+
+def test_open_video_unreadable_raises(tmp_path):
+    """cv2 and native backends agree: an unopenable file is an IOError,
+    not a silent empty stream."""
+    from cut_detection_tpu.data.video import open_video
+
+    with pytest.raises(IOError):
+        open_video(str(tmp_path / "nope.mp4"))
+
+
+def test_prefetch_loader_rejects_nonpositive_depth():
+    from cut_detection_tpu.data.loader import PrefetchLoader
+
+    with pytest.raises(ValueError, match="depth"):
+        PrefetchLoader(iter([1]), depth=0)
