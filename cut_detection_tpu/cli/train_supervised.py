@@ -122,6 +122,7 @@ def main(args=None) -> None:
         mesh = make_mesh()
 
     state = None
+    start_epoch = 0
     if ns.load_conv_net or ns.resume:
         state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     if ns.resume:
@@ -129,6 +130,20 @@ def main(args=None) -> None:
         if ckpt:
             logging.info("Resuming from %s", ckpt)
             state = load_train_state(ckpt, state)
+            # Continue the epoch numbering from the snapshot: a resumed
+            # run restarting at epoch 0 would save train_state_0000.npz
+            # below the pre-crash snapshots, and the NEXT resume would
+            # restore the stale lexicographically-latest file, silently
+            # rewinding training.
+            import re
+
+            m_ep = re.search(r"train_state_(\d+)\.npz$", ckpt)
+            if m_ep:
+                start_epoch = int(m_ep.group(1)) + 1
+                if start_epoch >= cfg.epochs:
+                    logging.info(
+                        "Snapshot is from the final epoch (%d of %d); "
+                        "nothing left to train.", start_epoch, cfg.epochs)
     elif ns.load_conv_net:
         from cut_detection_tpu.checkpoint.io import load_bundle
         import os
@@ -141,7 +156,8 @@ def main(args=None) -> None:
 
     result = train_supervised(cfg, datasets, mesh=mesh,
                               num_workers=ns.num_workers, state=state,
-                              checkpoint_dir=cfg.model_dir)
+                              checkpoint_dir=cfg.model_dir,
+                              start_epoch=start_epoch)
 
     save_model_triplet(cfg.model_dir, cfg.model_name, result["state"], cfg,
                        export_torch=ns.export_torch)

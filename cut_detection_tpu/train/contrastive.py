@@ -124,15 +124,18 @@ def train_contrastive(cfg: ContrastiveConfig, dataset, *, mesh=None,
     from cut_detection_tpu.data.loader import PrefetchLoader, iter_batches
 
     step, _ = make_contrastive_step(cfg)
+    # Donate the state like supervised.jit_steps: each step's input
+    # buffers are dead afterwards, so XLA reuses them in place instead
+    # of holding two copies of params+optimizer state in HBM.
     if mesh is None:
-        step = jax.jit(step)
+        step = jax.jit(step, donate_argnums=(0,))
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         step = jax.jit(step, in_shardings=(repl, repl, data),
-                       out_shardings=(repl, repl))
+                       out_shardings=(repl, repl), donate_argnums=(0,))
 
     key = jax.random.PRNGKey(cfg.seed)
     if state is None:
@@ -152,7 +155,10 @@ def train_contrastive(cfg: ContrastiveConfig, dataset, *, mesh=None,
         for i, batch in enumerate(PrefetchLoader(batches)):
             key, sub = jax.random.split(key)
             state, metrics = step(state, sub, batch["x"])
-            accum += float(metrics["loss"]) * batch["x"].shape[0] * 2
+            # Reference metric semantics (learn_contrasts.py:113-122):
+            # accumulate the SCALAR batch loss, count 2B rows — the
+            # logged value is loss/2B, comparable with reference logs.
+            accum += float(metrics["loss"])
             n_obs += batch["x"].shape[0] * 2
             if i % cfg.write_every_n == cfg.write_every_n - 1:
                 logger.info("Epoch %d | Batch %d | Loss: %.3f",

