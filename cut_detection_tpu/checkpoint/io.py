@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 _EMPTY = "__empty__"
+_EMPTY_LIST = "__empty_list__"
 
 
 def flatten_tree(tree, prefix=""):
@@ -28,6 +29,11 @@ def flatten_tree(tree, prefix=""):
         for k, v in tree.items():
             out.update(flatten_tree(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            # An empty list must survive the round trip too, or the
+            # reloaded tree silently loses the node (KeyError later).
+            out[prefix + _EMPTY_LIST] = np.zeros((), dtype=np.int8)
+            return out
         for i, v in enumerate(tree):
             out.update(flatten_tree(v, f"{prefix}{i}/"))
     else:
@@ -46,11 +52,16 @@ def unflatten_tree(flat: dict):
         leaf = parts[-1]
         if leaf == _EMPTY:
             continue  # marker: the parent dict exists but is empty
+        if leaf == _EMPTY_LIST:
+            node[_EMPTY_LIST] = True
+            continue
         node[leaf] = value
 
     def normalize(node):
         if not isinstance(node, dict):
             return node
+        if _EMPTY_LIST in node:
+            return []
         if node and all(k.isdigit() for k in node):
             return [normalize(node[str(i)]) for i in range(len(node))]
         return {k: normalize(v) for k, v in node.items()}

@@ -52,7 +52,11 @@ def main(args=None) -> str:
         from cut_detection_tpu.utils.platform import force_cpu
 
         force_cpu()
-    logging.info("Using %s", jax.devices()[0].platform)
+    from cut_detection_tpu.utils.platform import init_devices
+
+    # CUTDET_INIT_TIMEOUT bounds backend init like the other CLIs (a
+    # wedged device tunnel otherwise hangs the batch job forever).
+    logging.info("Using %s", init_devices()[0].platform)
 
     from cut_detection_tpu.models.assembly import load_embedding_net
     from cut_detection_tpu.ops.preprocess import normalize_frames
@@ -67,7 +71,9 @@ def main(args=None) -> str:
         ds = ContrastiveFrameDataset(ns.input_path, ext=".jpg")
 
         def frames():
-            limit = ns.frame_limit or len(ds)
+            # `is not None`, not truthiness: --frame-limit 0 means zero
+            # frames (matching the video branch below), not "all".
+            limit = ns.frame_limit if ns.frame_limit is not None else len(ds)
             for i in range(min(limit, len(ds))):
                 # Dataset yields RGB; the device path expects BGR input to
                 # normalize_frames, so flip back.
@@ -87,7 +93,10 @@ def main(args=None) -> str:
     embs = []
     count = 0
     for batch, valid in batch_frames(frames(), ns.batch_size):
-        e = np.asarray(net(np.asarray(normalize_frames(batch))))
+        # Keep the normalized frames ON DEVICE: np.asarray here would
+        # download the float32 tensor just to re-upload it to net() —
+        # ~2x the batch's bytes in pointless PCIe/tunnel traffic.
+        e = np.asarray(net(normalize_frames(batch)))
         embs.append(e[:valid])
         count += valid
     out = np.concatenate(embs) if embs else np.zeros((0,), np.float32)

@@ -29,7 +29,14 @@ import json
 
 import numpy as np
 
-from cut_detection_tpu.segmentation.rle import LAB_ENUM
+# jax-free import: this is a pure-numpy CSV tool, and in this repo's
+# deployment an extra jax-importing process can stall an in-flight
+# device run (CLAUDE.md); data.frames carries the identical vocabulary.
+from cut_detection_tpu.data.frames import LAB_ENUM
+
+# Accept the labelling tool's uppercase vocabulary too (labelling.py
+# records EZ/A22/B; the reference CSVs use a22/ez/b).
+_LABEL_ALIASES = {k.lower(): v for k, v in LAB_ENUM.items()}
 
 
 def read_segments_csv(path: str) -> list[tuple[int, str]]:
@@ -37,12 +44,22 @@ def read_segments_csv(path: str) -> list[tuple[int, str]]:
         return [(int(r[0]), r[1]) for r in csv.reader(f) if r]
 
 
-def frame_labels(segments: list[tuple[int, str]], num_frames: int) -> np.ndarray:
+def _label_id(lab: str, path: str) -> int:
+    try:
+        return _LABEL_ALIASES[lab.strip().lower()]
+    except KeyError:
+        raise SystemExit(
+            f"{path}: unknown label {lab!r} — expected one of "
+            f"{sorted(LAB_ENUM)} (case-insensitive)") from None
+
+
+def frame_labels(segments: list[tuple[int, str]], num_frames: int,
+                 path: str = "<csv>") -> np.ndarray:
     """Expand (start, label) rows into a per-frame label id array."""
     out = np.full(num_frames, -1, dtype=np.int32)
     for i, (start, lab) in enumerate(segments):
         end = segments[i + 1][0] if i + 1 < len(segments) else num_frames
-        out[start:end] = LAB_ENUM[lab]
+        out[start:end] = _label_id(lab, path)
     return out
 
 
@@ -53,10 +70,14 @@ def evaluate(pred_csv: str, truth_csv: str, num_frames: int | None,
     assumed = num_frames is None
     if assumed:
         num_frames = max((s for s, _ in pred + truth), default=0) + 1
-    pl = frame_labels(pred, num_frames)
-    tl = frame_labels(truth, num_frames)
+    pl = frame_labels(pred, num_frames, pred_csv)
+    tl = frame_labels(truth, num_frames, truth_csv)
 
-    acc = float(np.mean(pl == tl))
+    # Score only frames the truth actually covers: a truth CSV starting
+    # past frame 0 leaves a -1 prefix in tl, and counting -1 == -1 as
+    # correct would inflate accuracy for footage nobody labeled.
+    covered = tl >= 0
+    acc = float(np.mean((pl == tl)[covered])) if covered.any() else 0.0
     per_class = {}
     for name, cid in LAB_ENUM.items():
         mask = tl == cid

@@ -57,20 +57,18 @@ def main(args=None) -> str:
     import jax
 
     from cut_detection_tpu.models.assembly import (
-        load_and_glue_nets,
         load_default_net,
+        load_triplet_or_default,
     )
 
     if ns.use_default_net:
         net, params = load_default_net(precision=ns.precision)
     else:
-        net, params = load_and_glue_nets(
-            os.path.join(ns.model_dir, f"{ns.model_name}_model_params.json"),
-            os.path.join(ns.model_dir, f"{ns.model_name}_classifier_conv.npz"),
-            os.path.join(ns.model_dir,
-                         f"{ns.model_name}_classifier_linear.npz"),
-            precision=ns.precision,
-        )
+        # npz preferred, reference-format torch .pt accepted — exporting
+        # a reference checkpoint is exactly the make_torchscript_model.py
+        # use case this tool replaces.
+        net, params = load_triplet_or_default(
+            ns.model_dir, ns.model_name, precision=ns.precision)
 
     rng = np.random.default_rng(0)
     example = rng.random((ns.batch_size, ns.height, ns.width, 3),

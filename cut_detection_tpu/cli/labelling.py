@@ -36,23 +36,47 @@ def write_label(directory: str, labels: dict, idx: int, lab: str) -> dict:
     return labels
 
 
+def _require_frames(ds, data_dir: str) -> None:
+    if len(ds) == 0:
+        raise SystemExit(
+            f"no frames found under {data_dir!r} — point the tool at a "
+            "directory of frame_*.jpg files (cutdet split-video writes "
+            "them)")
+
+
 def _streamlit_app(data_dir: str) -> None:
     import streamlit as st
 
     from cut_detection_tpu.data.frames import ContrastiveFrameDataset
 
     ds = ContrastiveFrameDataset(data_dir, ext=".jpg")
+    _require_frames(ds, data_dir)
     labels = get_labels(data_dir)
-    idx = int(np.random.default_rng().integers(len(ds)))
+    # The displayed frame index must SURVIVE the rerun a button click
+    # triggers — a fresh random index each run would record the label
+    # against a frame the user never saw.  (The reference has exactly
+    # that statefulness bug, labelling.py:42-61; a label written to a
+    # random unseen frame corrupts training data, so fixed, not
+    # replicated.)  A new frame is drawn only after a label lands.
+    if "cutdet_idx" not in st.session_state:
+        st.session_state.cutdet_idx = int(
+            np.random.default_rng().integers(len(ds)))
+    idx = st.session_state.cutdet_idx
+
+    def _record(lab: str) -> None:
+        write_label(data_dir, get_labels(data_dir), idx, lab)
+        st.session_state.cutdet_idx = int(
+            np.random.default_rng().integers(len(ds)))
+
     st.markdown(f"*Previous label: {labels.get(str(idx), 'None')}*")
     st.image(ds[idx]["x"], width=240)
     if st.button("Endzone"):
-        write_label(data_dir, labels, idx, "EZ")
+        _record("EZ")
     if st.button("All-22"):
-        write_label(data_dir, labels, idx, "A22")
+        _record("A22")
     if st.button("Blank"):
-        write_label(data_dir, labels, idx, "B")
-    st.markdown(f"**Labels: {len(labels)}**")
+        _record("B")
+    st.markdown(f"**Labels: {len(get_labels(data_dir))}**")
 
 
 def _ansi_preview(img: np.ndarray, width: int = 64) -> str:
@@ -77,6 +101,7 @@ def _terminal_app(data_dir: str, seed: int | None = None) -> None:
     from cut_detection_tpu.data.frames import ContrastiveFrameDataset
 
     ds = ContrastiveFrameDataset(data_dir, ext=".jpg")
+    _require_frames(ds, data_dir)
     labels = get_labels(data_dir)
     rng = np.random.default_rng(seed)
     print(f"{len(ds)} frames; {len(labels)} labeled. "

@@ -62,3 +62,17 @@ def test_prod_bundle_loads():
     assert len(net.bundle["linear"]["params"]) == 2
     # Final FC layer: no BN (frameID/net.py:167).
     assert "gamma" not in net.bundle["linear"]["params"][1]
+
+
+def test_empty_list_nodes_round_trip(tmp_path):
+    """Empty list/tuple nodes survive save/load (an empty-dict marker
+    existed; empty lists used to vanish silently)."""
+    from cut_detection_tpu.checkpoint.io import load_bundle, save_bundle
+
+    tree = {"params": [np.ones((2,))], "state": [], "extra": {}}
+    path = str(tmp_path / "b.npz")
+    save_bundle(path, tree)
+    out = load_bundle(path)
+    assert out["state"] == []
+    assert out["extra"] == {}
+    np.testing.assert_array_equal(out["params"][0], np.ones((2,)))

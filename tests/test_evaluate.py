@@ -3,6 +3,7 @@
 import csv
 
 import numpy as np
+import pytest
 
 from cut_detection_tpu.cli.evaluate import evaluate, frame_labels
 
@@ -95,3 +96,43 @@ def test_num_frames_optional(tmp_path):
     assert res["boundary_recall"] == 1.0
     # Explicit num_frames must not report the assumption.
     assert "num_frames_assumed" not in evaluate(str(a), str(b), 600)
+
+
+def test_uppercase_labels_accepted(tmp_path):
+    """The labelling tool records EZ/A22/B; evaluate accepts them
+    case-insensitively instead of crashing with a bare KeyError."""
+    pred = tmp_path / "p.csv"
+    truth = tmp_path / "t.csv"
+    pred.write_text("0,ez\r\n50,a22\r\n")
+    truth.write_text("0,EZ\r\n50,A22\r\n")
+    from cut_detection_tpu.cli.evaluate import evaluate
+
+    res = evaluate(str(pred), str(truth), 100)
+    assert res["frame_accuracy"] == 1.0
+
+
+def test_unknown_label_is_clear_error(tmp_path):
+    pred = tmp_path / "p.csv"
+    truth = tmp_path / "t.csv"
+    pred.write_text("0,ez\r\n")
+    truth.write_text("0,zebra\r\n")
+    from cut_detection_tpu.cli.evaluate import evaluate
+
+    with pytest.raises(SystemExit, match="zebra"):
+        evaluate(str(pred), str(truth), 10)
+
+
+def test_uncovered_frames_do_not_inflate_accuracy(tmp_path):
+    """Frames before the truth CSV's first boundary are unlabeled and
+    must be excluded from frame accuracy (-1 == -1 used to count as
+    correct)."""
+    pred = tmp_path / "p.csv"
+    truth = tmp_path / "t.csv"
+    pred.write_text("0,b\r\n")        # predicts blank everywhere
+    truth.write_text("90,ez\r\n")     # truth only covers frames 90-99
+    from cut_detection_tpu.cli.evaluate import evaluate
+
+    res = evaluate(str(pred), str(truth), 100)
+    # Prediction matches the covered region on 0 of 10 frames; the 90
+    # uncovered frames must not be scored.
+    assert res["frame_accuracy"] == 0.0

@@ -22,6 +22,19 @@ import numpy as np
 import pytest
 
 
+class _SessionState(dict):
+    """streamlit.session_state double: dict + attribute access + `in`."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k) from None
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
 class _ScriptedStreamlit(types.ModuleType):
     """Minimal streamlit double: one scripted button press per re-run."""
 
@@ -30,6 +43,7 @@ class _ScriptedStreamlit(types.ModuleType):
         self._presses = list(presses)
         self._current = None
         self.rendered = []
+        self.session_state = _SessionState()  # persists across re-runs
 
     def next_run(self):
         self._current = self._presses.pop(0) if self._presses else None
@@ -83,6 +97,26 @@ def test_streamlit_app_executes_and_writes_labels(label_frames, monkeypatch):
     md = [p for kind, p in st.rendered if kind == "markdown"]
     assert any(p.startswith("*Previous label:") for p in md)
     assert any(p.startswith("**Labels:") for p in md)
+
+
+def test_streamlit_label_lands_on_displayed_frame(label_frames, monkeypatch):
+    """The frame index survives the click's re-run via session_state, so
+    the label is recorded against the frame the user actually judged.
+    (The reference re-randomizes per run — labelling.py:42-61 — sending
+    every label to a random unseen frame; deliberately fixed here.)"""
+    from cut_detection_tpu.cli import labelling
+
+    st = _ScriptedStreamlit([None, "Endzone"])
+    monkeypatch.setitem(sys.modules, "streamlit", st)
+    st.next_run()
+    labelling.main([label_frames])          # run 1: display a frame
+    shown = st.session_state["cutdet_idx"]
+    st.next_run()
+    labelling.main([label_frames])          # run 2: click Endzone
+    labels = json.load(open(os.path.join(label_frames, "labels.json")))
+    assert labels == {str(shown): "EZ"}
+    # A fresh frame is drawn for the next interaction.
+    assert "cutdet_idx" in st.session_state
 
 
 def test_streamlit_app_shows_previous_label(label_frames, monkeypatch):
