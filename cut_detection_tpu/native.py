@@ -89,7 +89,16 @@ def resize_bilinear_u8(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native library unavailable")
     img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3:
+        raise ValueError(f"expected HWC image, got shape {img.shape}")
     h, w, c = img.shape
+    # Validate before crossing the C ABI: a zero source dim yields
+    # negative tap indices (OOB reads), and negative output dims would
+    # throw std::length_error across extern "C" -> std::terminate.
+    if h <= 0 or w <= 0 or c <= 0 or out_h <= 0 or out_w <= 0:
+        raise ValueError(
+            f"resize dims must be positive: in {img.shape}, "
+            f"out ({out_h}, {out_w})")
     out = np.empty((out_h, out_w, c), dtype=np.uint8)
     lib.resize_bilinear_u8(_ptr(img, ctypes.c_uint8), h, w, c,
                            _ptr(out, ctypes.c_uint8), out_h, out_w)
@@ -102,6 +111,11 @@ def bgr_to_rgb_norm(img_u8: np.ndarray) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native library unavailable")
     img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
+    if img_u8.ndim < 1 or img_u8.shape[-1] != 3:
+        # The C loop reads/writes 3 values per pixel; any other channel
+        # count would run past both buffers (heap overflow).
+        raise ValueError(
+            f"expected ...x3 BGR input, got shape {img_u8.shape}")
     out = np.empty(img_u8.shape, dtype=np.float32)
     lib.bgr_to_rgb_norm_f32(_ptr(img_u8, ctypes.c_uint8),
                             int(np.prod(img_u8.shape[:-1])),
@@ -117,6 +131,12 @@ def rle_encode(conf: np.ndarray, pred: np.ndarray) -> dict:
         raise RuntimeError("native library unavailable")
     conf = np.ascontiguousarray(conf, dtype=np.float32)
     pred = np.ascontiguousarray(pred, dtype=np.int32)
+    if conf.ndim != 1 or conf.shape != pred.shape:
+        # The C loop indexes both by conf's length; a shorter pred
+        # would be an out-of-bounds read.
+        raise ValueError(
+            f"conf and pred must be equal-length 1-D arrays, got "
+            f"{conf.shape} and {pred.shape}")
     n = conf.shape[0]
     start = np.empty(n, np.int64)
     end = np.empty(n, np.int64)
@@ -137,18 +157,29 @@ def rle_encode(conf: np.ndarray, pred: np.ndarray) -> dict:
     }
 
 
+def _table_copies(te: dict):
+    """Private working copies of the table's five arrays.
+
+    The C merge loops memmove rows in place; ``ascontiguousarray`` would
+    ALIAS the caller's (already-contiguous) arrays, scrambling the input
+    ``te`` while the cleaned result comes back as a new dict — a caller
+    keeping a reference to its table would silently read merged garbage.
+    """
+    return (np.array(te["start_frames"], np.int64, copy=True),
+            np.array(te["end_frames"], np.int64, copy=True),
+            np.array(te["frame_types"], np.int64, copy=True),
+            np.array(te["run_lengths"], np.int64, copy=True),
+            np.array(te["score_means"], np.float32, copy=True))
+
+
 def glue_orphans(te: dict, real_threshold: int, blank_threshold: int,
                  bug_compat: bool = True) -> dict:
-    """Native in-place orphan gluing; same contract as
+    """Native orphan gluing (on private copies); same contract as
     segmentation.glue.glue_orphans."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    start = np.ascontiguousarray(te["start_frames"], np.int64)
-    end = np.ascontiguousarray(te["end_frames"], np.int64)
-    typ = np.ascontiguousarray(te["frame_types"], np.int64)
-    runlen = np.ascontiguousarray(te["run_lengths"], np.int64)
-    mean = np.ascontiguousarray(te["score_means"], np.float32)
+    start, end, typ, runlen, mean = _table_copies(te)
     k = lib.glue_orphans(_ptr(start, ctypes.c_int64),
                          _ptr(end, ctypes.c_int64),
                          _ptr(typ, ctypes.c_int64),
@@ -165,16 +196,12 @@ def glue_orphans(te: dict, real_threshold: int, blank_threshold: int,
 
 
 def combine_adjacent(te: dict, bug_compat: bool = True) -> dict:
-    """Native adjacent-merge; same contract as
+    """Native adjacent-merge (on private copies); same contract as
     segmentation.glue.combine_adjacent_segments."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    start = np.ascontiguousarray(te["start_frames"], np.int64)
-    end = np.ascontiguousarray(te["end_frames"], np.int64)
-    typ = np.ascontiguousarray(te["frame_types"], np.int64)
-    runlen = np.ascontiguousarray(te["run_lengths"], np.int64)
-    mean = np.ascontiguousarray(te["score_means"], np.float32)
+    start, end, typ, runlen, mean = _table_copies(te)
     k = lib.combine_adjacent(_ptr(start, ctypes.c_int64),
                              _ptr(end, ctypes.c_int64),
                              _ptr(typ, ctypes.c_int64),

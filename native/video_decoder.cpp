@@ -114,6 +114,10 @@ void* vd_open(const char* path) {
     }
     d->pkt = av_packet_alloc();
     d->frame = av_frame_alloc();
+    if (!d->pkt || !d->frame) {  // OOM: fail vd_open, not decode_next
+        delete d;
+        return nullptr;
+    }
     d->width = st->codecpar->width;
     d->height = st->codecpar->height;
     AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate
@@ -139,11 +143,9 @@ int vd_info(void* h, int* width, int* height, double* fps,
     return 1;
 }
 
-// Decode the next frame into out_bgr ([height, width, 3] uint8, BGR24).
-int vd_read_frame(void* h, uint8_t* out_bgr) {
-    auto* d = static_cast<Decoder*>(h);
-    if (!d) return 0;
-    if (!decode_next(d)) return 0;
+// Convert the currently-held decoded frame to BGR24 into out_bgr and
+// release it (shared by vd_read_frame and vd_read_stashed).
+static int convert_held_frame(Decoder* d, uint8_t* out_bgr) {
     d->sws = sws_getCachedContext(
         d->sws, d->frame->width, d->frame->height,
         static_cast<AVPixelFormat>(d->frame->format), d->width, d->height,
@@ -158,6 +160,14 @@ int vd_read_frame(void* h, uint8_t* out_bgr) {
     return 1;
 }
 
+// Decode the next frame into out_bgr ([height, width, 3] uint8, BGR24).
+int vd_read_frame(void* h, uint8_t* out_bgr) {
+    auto* d = static_cast<Decoder*>(h);
+    if (!d) return 0;
+    if (!decode_next(d)) return 0;
+    return convert_held_frame(d, out_bgr);
+}
+
 // Seek so the next read returns frame `index`, starting the keyframe
 // seek from `anchor`'s timestamp (anchor <= index; an earlier anchor
 // gives the decoder more run-up when the pts->index mapping is uneven).
@@ -169,7 +179,14 @@ int vd_seek_frame_from(void* h, int64_t index, int64_t anchor) {
     auto* d = static_cast<Decoder*>(h);
     if (!d || d->fps <= 0) return 0;
     AVStream* st = d->fmt->streams[d->stream_index];
-    int64_t ts = av_rescale_q(
+    // Streams can start at a nonzero timestamp (MPEG-TS commonly ~1.4s):
+    // both the anchor's target timestamp and the pts->frame-index mapping
+    // must be relative to start_time, or every seek lands start_time*fps
+    // frames early while REPORTING exact positioning (cv2's ffmpeg
+    // backend applies the same correction).
+    const int64_t st0 =
+        (st->start_time == AV_NOPTS_VALUE) ? 0 : st->start_time;
+    int64_t ts = st0 + av_rescale_q(
         static_cast<int64_t>(anchor / d->fps * AV_TIME_BASE),
         AVRational{1, AV_TIME_BASE}, st->time_base);
     if (av_seek_frame(d->fmt, d->stream_index, ts,
@@ -182,11 +199,16 @@ int vd_seek_frame_from(void* h, int64_t index, int64_t anchor) {
     while (true) {
         if (!decode_next(d)) return 0;
         int64_t pts = d->frame->best_effort_timestamp;
-        int64_t cur = 0;
-        if (pts != AV_NOPTS_VALUE) {
-            cur = static_cast<int64_t>(
-                av_q2d(st->time_base) * pts * d->fps + 0.5);
+        if (pts == AV_NOPTS_VALUE) {
+            // No timestamp -> no way to know which frame this is.  A
+            // guess could silently return the wrong frame (the one
+            // unacceptable outcome); fail the seek loudly — callers
+            // fall back to sequential decode, which needs no mapping.
+            av_frame_unref(d->frame);
+            return 0;
         }
+        int64_t cur = static_cast<int64_t>(
+            av_q2d(st->time_base) * (pts - st0) * d->fps + 0.5);
         if (cur == index) {
             // Stash: keep the decoded frame so the next read emits it
             // (see vd_read_stashed).
@@ -206,30 +228,20 @@ int vd_seek_frame_from(void* h, int64_t index, int64_t anchor) {
     }
 }
 
-// Back-compat entry (older callers): anchor == index; overshoot maps to
-// the historical "positioned" code so stale bindings keep functioning,
-// though new bindings should use vd_seek_frame_from and handle 3.
+// Back-compat entry (older callers): anchor == index.  Overshoot maps
+// to HARD FAILURE, not the historical "positioned" code — a stale
+// binding that can't handle 3 must get a loud error rather than
+// silently read a later frame than it seeked to.
 int vd_seek_frame(void* h, int64_t index) {
     int ret = vd_seek_frame_from(h, index, index);
-    return ret == 3 ? 1 : ret;
+    return ret == 3 ? 0 : ret;
 }
 
 // After vd_seek_frame returned 2, fetch the already-decoded target frame.
 int vd_read_stashed(void* h, uint8_t* out_bgr) {
     auto* d = static_cast<Decoder*>(h);
     if (!d) return 0;
-    d->sws = sws_getCachedContext(
-        d->sws, d->frame->width, d->frame->height,
-        static_cast<AVPixelFormat>(d->frame->format), d->width, d->height,
-        AV_PIX_FMT_BGR24, SWS_BILINEAR, nullptr, nullptr, nullptr);
-    if (!d->sws) return 0;
-    uint8_t* dst_data[4] = {out_bgr, nullptr, nullptr, nullptr};
-    int dst_linesize[4] = {3 * d->width, 0, 0, 0};
-    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0,
-              d->frame->height, dst_data, dst_linesize);
-    av_frame_unref(d->frame);
-    d->next_frame++;
-    return 1;
+    return convert_held_frame(d, out_bgr);
 }
 
 void vd_close(void* h) {

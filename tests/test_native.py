@@ -87,3 +87,34 @@ def test_native_glue_matches_python(seed, bug_compat):
         np.testing.assert_array_equal(te_nat[k], te_py[k], err_msg=k)
     np.testing.assert_allclose(te_nat["score_means"], te_py["score_means"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_binding_shape_validation():
+    """The ctypes bindings validate shapes BEFORE crossing the C ABI —
+    channel/length mismatches were out-of-bounds reads/writes."""
+    import pytest
+
+    with pytest.raises(ValueError, match="BGR"):
+        native.bgr_to_rgb_norm(np.zeros((4, 4, 1), np.uint8))
+    with pytest.raises(ValueError, match="positive"):
+        native.resize_bilinear_u8(np.zeros((0, 4, 3), np.uint8), 2, 2)
+    with pytest.raises(ValueError, match="positive"):
+        native.resize_bilinear_u8(np.zeros((4, 4, 3), np.uint8), -1, 2)
+    with pytest.raises(ValueError, match="equal-length"):
+        native.rle_encode(np.zeros(5, np.float32), np.zeros(4, np.int32))
+
+
+def test_glue_does_not_corrupt_callers_table():
+    """The merge loops work on private copies: the caller's table is
+    byte-identical afterwards (memmove used to scramble the aliased
+    input arrays)."""
+    rng = np.random.default_rng(0)
+    n = 40
+    conf = rng.random(n).astype(np.float32) + 1.0
+    pred = rng.integers(0, 3, n).astype(np.int32)
+    te = native.rle_encode(conf, pred)
+    before = {k: v.copy() for k, v in te.items()}
+    native.glue_orphans(te, 5, 2)
+    native.combine_adjacent(te)
+    for k in te:
+        np.testing.assert_array_equal(te[k], before[k])
