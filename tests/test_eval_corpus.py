@@ -97,6 +97,26 @@ def test_adversarial_clip_flips_pre_smoothing(tmp_path):
         assert any(lo <= f < hi for lo, hi in adv_spans), int(f)
 
 
+def test_adversarial_clip_probes_int8_weight_quantization(tmp_path):
+    """The int8_mxu rung's extra error source (per-channel weight
+    rounding) is also probed by the adversarial clip: its argmax differs
+    from float32 on >=1 frame pre-smoothing, and every differing frame
+    lies inside a designed near-boundary block — so the gate can catch
+    int8-specific regressions, not just bf16 ones."""
+    from cut_detection_tpu.pipeline import classify_video
+
+    name, _ = ADV
+    _, p32, _ = classify_video(_clip(name), print_every=0,
+                               precision="float32")
+    _, pi8, _ = classify_video(_clip(name), print_every=0,
+                               precision="int8_mxu")
+    diff = np.nonzero(p32 != pi8)[0]
+    assert diff.size >= 1, "corpus_adv no longer probes int8_mxu"
+    adv_spans = [(150, 159), (319, 328)]
+    for f in diff:
+        assert any(lo <= f < hi for lo, hi in adv_spans), int(f)
+
+
 def test_float32_adversarial_exact(tmp_path):
     """Strict-parity mode reproduces the committed truth exactly (the
     truth IS the float32 pipeline's deterministic output)."""
