@@ -39,7 +39,13 @@ def preprocess_u8_batch(frames_u8_bgr, out_h: int | None = None,
     frames are assumed to be pre-resized on the host (the default production
     path — a width-256 uint8 frame is ~110 KB, cheaper to ship than raw).
     """
+    if (out_h is None) != (out_w is None):
+        # Silently skipping the resize would surface much later as a
+        # conv-stack shape mismatch, far from the actual mistake.
+        raise ValueError(
+            f"out_h and out_w must be given together, got "
+            f"out_h={out_h}, out_w={out_w}")
     x = frames_u8_bgr
-    if out_h is not None and out_w is not None:
+    if out_h is not None:
         x = resize_bilinear(x, out_h, out_w, exact=exact)
     return normalize_frames(x)

@@ -43,9 +43,26 @@ def initialize(coordinator_address: str | None = None,
     if _initialized:
         return jax.process_index()
     if coordinator_address is None and num_processes in (None, 1):
-        # Single-process: nothing to coordinate.
+        # No explicit cluster: ATTEMPT the environment auto-configuration
+        # (the standard jax.distributed behavior on TPU pods).  Skipping
+        # it would leave process_count()==1 on every pod host, so each
+        # would process the FULL work list (duplicated work, clobbered
+        # outputs).  Off-pod the attempt raises and we degrade to the
+        # single-process no-op — returning jax.process_index(), not a
+        # hardcoded 0, in case a backend already knows its topology.
+        try:
+            from cut_detection_tpu.utils.platform import bounded_call
+
+            # Bounded: cluster detection can touch metadata services
+            # that HANG off-pod rather than raise.
+            bounded_call(jax.distributed.initialize, 120.0,
+                         "distributed auto-config")
+            logger.info("distributed: auto-configured from environment")
+        except Exception as e:  # noqa: BLE001 — no cluster env: single proc
+            logger.debug("distributed auto-config unavailable (%s); "
+                         "running single-process", e)
         _initialized = True
-        return 0
+        return jax.process_index()
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

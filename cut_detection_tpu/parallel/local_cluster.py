@@ -41,7 +41,17 @@ def _configure_process(devices_per_process: int) -> None:
     """Force the CPU platform with N virtual devices (before jax import)."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
+    if "xla_force_host_platform_device_count" in flags:
+        # An inherited count that disagrees with devices_per_process
+        # would only surface later as an opaque local_device_count
+        # assertion; rewrite it to the requested value.
+        import re
+
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                       f"--xla_force_host_platform_device_count="
+                       f"{devices_per_process}", flags)
+        os.environ["XLA_FLAGS"] = flags
+    else:
         os.environ["XLA_FLAGS"] = (
             f"{flags} --xla_force_host_platform_device_count="
             f"{devices_per_process}").strip()

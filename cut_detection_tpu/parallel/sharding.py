@@ -119,12 +119,15 @@ def make_sharded_classify_step(net, mesh: Mesh, *, tensor_parallel: bool = False
     out_shardings = (batch_sharding(mesh), batch_sharding(mesh))
 
     def _step(bundle, frames_u8):
+        from cut_detection_tpu.segmentation.rle import device_frame_scores
+
         x = normalize_frames(frames_u8)
         logits = _glued_apply(bundle, x, conv_cfg=net.conv_cfg,
                               linear_cfg=net.linear_cfg,
                               compute_dtype=net.compute_dtype)
-        return jnp.max(logits, axis=1), jnp.argmax(logits, axis=1).astype(
-            jnp.int32)
+        # One source of truth for the per-frame reduction (its
+        # torch-matching tie-break contract lives in rle.py).
+        return device_frame_scores(logits)
 
     return jax.jit(_step, in_shardings=in_shardings,
                    out_shardings=out_shardings)

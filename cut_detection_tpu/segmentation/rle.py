@@ -52,6 +52,15 @@ def device_segment_reduce(conf, pred, max_segments: int):
     rows; rows >= num_segments are padding.  Useful when the whole pipeline
     (classify -> segment) should stay on device; the host-side table
     construction in ``Segmentation`` is otherwise equivalent.
+
+    CALLER MUST CHECK ``num_segments <= max_segments``: segment ids past
+    the bound are silently dropped by the segment reductions (a jit
+    constraint — the check needs a host fetch, which this function
+    cannot do without forcing synchronization; device_glue.smooth_logits
+    does exactly that check and raises).  ``run_lengths`` come back as
+    int32 under the default x64-disabled config (the astype is a no-op
+    there); host-side consumers needing the reference's int64 dtype
+    convert after fetching.
     """
     n = conf.shape[0]
     boundary = jnp.concatenate(
