@@ -213,12 +213,18 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
     frames = jax.device_put(frames)
 
     # Match the pipeline's shipped graph: every mode folds the flip+/255
-    # preprocess into conv1's weights (assembly.fold_preprocess).
+    # preprocess into conv1's weights (assembly.fold_preprocess), and the
+    # deferred-affine rungs take their ring constants precomputed (the
+    # fori_loop would hoist in-graph rings anyway — LICM — but per-call
+    # paths pay them, so the shipped graph passes them in; this keeps the
+    # bench measuring exactly that graph).
     fold = True
-    from cut_detection_tpu.models.assembly import fold_preprocess
+    from cut_detection_tpu.models.assembly import fold_preprocess, precompute_rings
 
     bundle0 = jax.tree_util.tree_map(jnp.asarray,
                                      fold_preprocess(net.bundle))
+    rings = precompute_rings(net.bundle, net.conv_cfg, 144, 256,
+                             net.compute_dtype, fold=True)
 
     @jax.jit
     def run(bundle, frames_u8, k):
@@ -232,7 +238,8 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
             logits = _glued_apply(bundle, xx,
                                   conv_cfg=net.conv_cfg,
                                   linear_cfg=net.linear_cfg,
-                                  compute_dtype=net.compute_dtype)
+                                  compute_dtype=net.compute_dtype,
+                                  rings=rings)
             return acc + jnp.sum(logits)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 

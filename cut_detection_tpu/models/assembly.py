@@ -120,14 +120,16 @@ class GluedNet:
 
 
 def _glued_apply(bundle, x, *, conv_cfg: ConvNetConfig,
-                 linear_cfg: LinearNetConfig, compute_dtype=None):
+                 linear_cfg: LinearNetConfig, compute_dtype=None,
+                 rings=None):
     # NOTE: the space-to-depth fused frontend (ops/fused_frontend.py) is
     # deliberately NOT wired in: measured 27x SLOWER on TPU — the stride-3
     # patch gathers cost far more in relayout than the matmul utilization
     # win (docs/PERFORMANCE.md).  XLA's native conv lowering wins.
     feats, _ = apply_frame_conv(bundle["conv"]["params"],
                                 bundle["conv"]["state"], x, conv_cfg,
-                                train=False, compute_dtype=compute_dtype)
+                                train=False, compute_dtype=compute_dtype,
+                                rings=rings)
     logits, _ = apply_frame_linear(bundle["linear"]["params"],
                                    bundle["linear"]["state"], feats,
                                    linear_cfg, train=False,
@@ -166,6 +168,67 @@ def folded_input(frames_u8, compute_dtype):
     if str(compute_dtype) == "int8_mxu":
         return frames_u8
     return frames_u8.astype(jnp.float32)
+
+
+def precompute_rings(bundle, conv_cfg: ConvNetConfig, h: int, w: int,
+                     compute_dtype, *, fold: bool = True):
+    """Per-layer ring constants of the deferred-affine rungs, eagerly.
+
+    The uint8_chain/int8_mxu blocks add an input-independent constant
+    term ``conv(b·1, W) + bias`` per mid-stack layer (layers.py).  Inside
+    a device-resident loop XLA hoists it (loop-invariant), but real
+    per-batch step CALLS pay it every time — and on TPU even a tiny conv
+    costs ~0.4 ms (a small-conv latency floor, ~28% of the whole classify
+    step; scripts/probe_ring_cost.py).  Since the term depends only on
+    the bundle and the input shape, per-call paths (pipeline.make_classify_step,
+    bench.py) compute it HERE once per (net, shape) and pass it into the
+    jitted step as a resident tensor.
+
+    Replicates the blocks' affine chain exactly via the shared
+    ``u8_pending_affine`` / ``i8_pending_affine`` helpers, so the values
+    are bit-identical to the in-graph computation (golden-CSV-gated).
+    ``fold=True`` mirrors the folded-preprocess graph (the only caller
+    shape); int8_mxu's layer 1 then consumes raw uint8 frames and has a
+    ring of its own.  Returns a tuple (None entries where the layer has
+    no ring), or None when ``compute_dtype`` has no rings at all.
+    """
+    cd = str(compute_dtype)
+    if cd not in ("uint8_chain", "int8_mxu"):
+        return None
+    from cut_detection_tpu.models.layers import (
+        const_conv_ring,
+        i8_pending_affine,
+        u8_pending_affine,
+    )
+
+    if fold:
+        bundle = fold_preprocess(bundle)
+    params = bundle["conv"]["params"]
+    state = bundle["conv"]["state"]
+    if not all("gamma" in p for p in params):
+        return None  # apply_frame_conv falls back to the dense path
+    int8 = cd == "int8_mxu"
+    pend = i8_pending_affine if int8 else u8_pending_affine
+    rings, affine = [], None
+    hh, ww = h, w
+    for p, s in zip(params, state):
+        p = {k: jnp.asarray(v) for k, v in p.items()}
+        s = {k: jnp.asarray(v) for k, v in s.items()}
+        kernel = p["kernel"].astype(jnp.float32) if int8 else p["kernel"]
+        if affine is None:
+            if int8 and fold:
+                # Folded layer 1 consumes raw uint8 as int8 + constant
+                # 128 (apply_conv_block_i8's affine=None branch).
+                b = jnp.full((kernel.shape[2],), 128.0, jnp.float32)
+                rings.append(const_conv_ring(b, kernel, p["bias"], hh, ww))
+            else:
+                rings.append(None)  # dense float input, no ring
+        else:
+            _, b = affine
+            rings.append(const_conv_ring(b, kernel, p["bias"], hh, ww))
+        affine = pend(p, s)
+        hh, ww = hh // 3, ww // 3  # maxpool window 3, stride 3, floor
+    return tuple(rings)
 
 
 def load_and_glue_nets(param_file: str, conv_file: str, linear_file: str,

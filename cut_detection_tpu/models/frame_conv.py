@@ -43,7 +43,7 @@ def init_frame_conv(key, cfg: ConvNetConfig, dtype=jnp.float32):
 
 def apply_frame_conv(params, state, x, cfg: ConvNetConfig, *,
                      train: bool = False, compute_dtype=None,
-                     fused_frontend: bool = False):
+                     fused_frontend: bool = False, rings=None):
     """x: [B, H, W, C] -> features [B, hidden * pool^2]; returns (y, state).
 
     ``compute_dtype="bfloat16"`` runs the convolutions on the MXU in bf16
@@ -51,6 +51,8 @@ def apply_frame_conv(params, state, x, cfg: ConvNetConfig, *,
     ``fused_frontend`` replaces layer 1 (conv+relu+pool+BN) with the
     space-to-depth matmul (ops/fused_frontend.py) — eval-mode only, used by
     the bf16 perf paths where float reassociation is already accepted.
+    ``rings`` (deferred-affine rungs only): per-layer precomputed constant
+    terms from assembly.precompute_rings; None entries compute in-graph.
     """
     if str(compute_dtype) in ("uint8_chain", "int8_mxu") and not train \
             and all("gamma" in p for p in params):
@@ -69,8 +71,9 @@ def apply_frame_conv(params, state, x, cfg: ConvNetConfig, *,
         block = (apply_conv_block_i8 if str(compute_dtype) == "int8_mxu"
                  else apply_conv_block_u8)
         affine = None
-        for p, s in zip(params, state):
-            x, affine = block(p, s, x, affine)
+        ring_list = list(rings) if rings is not None else [None] * len(params)
+        for p, s, r in zip(params, state, ring_list):
+            x, affine = block(p, s, x, affine, ring=r)
         x = dequantize_u8(x, affine)
         x = adaptive_avg_pool(x, cfg.average_pool_size)
         x = flatten_nchw_order(x)

@@ -124,7 +124,51 @@ def conv_quantize_scale(state):
     return jnp.maximum(scale.astype(jnp.float32), 1e-12)
 
 
-def apply_conv_block_u8(params, state, x, affine, *, pool_window: int = 3):
+def const_conv_ring(b, kernel, bias, h: int, w: int,
+                    compute_dtype="bfloat16_full"):
+    """``conv2d_same(b · 1[1,h,w,:], kernel, bias)`` without the full conv.
+
+    The deferred-affine rungs' constant term ``conv(b*1, W) + bias`` is
+    input-independent, and for a 3x3 'same' conv every interior row of a
+    constant canvas is identical — only the top and bottom rows differ
+    (zero-padding border).  Computing the full canvas as a batch-1 conv
+    is NOT ~1/B of the batch conv's cost on TPU: measured 0.409 ms vs
+    0.538 ms for the batch-128 conv at the mid-stack shape
+    (scripts/probe_int8_stages.py) — batch-1 convs do not amortize on
+    the MXU.  A 3-row strip + interior-row broadcast is exact (each
+    output element is the same dot product over the same taps) and ~h/3
+    cheaper.  Falls back to the full canvas for h < 3 or non-3x3 kernels.
+    """
+    c_in = b.shape[0]
+    if h < 3 or kernel.shape[0] != 3 or kernel.shape[1] != 3:
+        return conv2d_same(jnp.broadcast_to(b, (1, h, w, c_in)), kernel,
+                           bias, compute_dtype=compute_dtype)
+    strip = conv2d_same(jnp.broadcast_to(b, (1, 3, w, c_in)), kernel,
+                        bias, compute_dtype=compute_dtype)
+    mid = jnp.broadcast_to(strip[:, 1:2], (1, h - 2, w, strip.shape[3]))
+    return jnp.concatenate([strip[:, 0:1], mid, strip[:, 2:3]], axis=1)
+
+
+def u8_pending_affine(params, state):
+    """The uint8_chain block's pending affine: dequant (*scale) composed
+    with eval-mode BN (*s + t).  Pure function of the bundle — shared by
+    the in-graph block and :func:`~..models.assembly.precompute_rings`
+    so the two can never drift."""
+    scale = conv_quantize_scale(state)
+    s = params["gamma"] * jax.lax.rsqrt(state["var"] + BN_EPS)
+    t = params["beta"] - state["mean"] * s
+    return scale * s.astype(jnp.float32), t.astype(jnp.float32)
+
+
+def i8_pending_affine(params, state):
+    """int8_mxu's pending affine: uint8_chain's with the -128 storage
+    shift folded into the bias (``dense = q*a + b`` with ``b += 128*a``)."""
+    a, b = u8_pending_affine(params, state)
+    return a, b + 128.0 * a
+
+
+def apply_conv_block_u8(params, state, x, affine, *, pool_window: int = 3,
+                        ring=None):
     """One eval-mode conv block of the ``uint8_chain`` precision rung.
 
     Same math as the ``uint8_pool`` branch of :func:`apply_conv_block`
@@ -138,11 +182,16 @@ def apply_conv_block_u8(params, state, x, affine, *, pool_window: int = 3):
     so the inter-layer HBM tensor is 1 B/elem instead of bf16's 2 B/elem
     (the dominant remaining traffic after the in-layer uint8 round trip;
     docs/PERFORMANCE.md).  The constant second term — exact including the
-    zero-padding border ring, where edge pixels see fewer taps — is one
-    batch-1 convolution, ~1/B of the batch conv's cost.
+    zero-padding border ring, where edge pixels see fewer taps — is
+    input-independent and computed as a 3-row strip (:func:`const_conv_ring`;
+    a naive batch-1 canvas conv costs ~76% of the full batch conv on TPU).
 
     ``x`` is dense float for the first layer (``affine=None``) or the
-    previous block's raw uint8 activation.  Returns ``(q, (a, b))``.
+    previous block's raw uint8 activation.  ``ring`` accepts the
+    precomputed constant term (assembly.precompute_rings) — on TPU even
+    a 3-row ring conv pays a ~0.4 ms small-conv latency floor per call
+    (scripts/probe_ring_cost.py), so per-call paths pass it in as a
+    resident tensor.  Returns ``(q, (a, b))``.
     """
     kernel = params["kernel"]
     if affine is None:
@@ -152,18 +201,15 @@ def apply_conv_block_u8(params, state, x, affine, *, pool_window: int = 3):
         a, b = affine
         kq = kernel.astype(jnp.float32) * a[None, None, :, None]
         z = conv2d_same(x, kq, None, compute_dtype="bfloat16_full")
-        ring = conv2d_same(
-            jnp.broadcast_to(b, (1, x.shape[1], x.shape[2], b.shape[0])),
-            kernel, params["bias"], compute_dtype="bfloat16_full")
+        if ring is None:
+            ring = const_conv_ring(b, kernel, params["bias"],
+                                   x.shape[1], x.shape[2])
         z = z + ring
     z = jax.nn.relu(z).astype(jnp.float32)
     scale = conv_quantize_scale(state)
     q = jnp.clip(jnp.rint(z / scale), 0.0, 255.0).astype(jnp.uint8)
     q = max_pool(q, pool_window)
-    # Pending affine: dequant (*scale) composed with eval-mode BN (*s + t).
-    s = params["gamma"] * jax.lax.rsqrt(state["var"] + BN_EPS)
-    t = params["beta"] - state["mean"] * s
-    return q, (scale * s.astype(jnp.float32), t.astype(jnp.float32))
+    return q, u8_pending_affine(params, state)
 
 
 def dequantize_u8(q, affine, dtype=jnp.bfloat16):
@@ -172,7 +218,8 @@ def dequantize_u8(q, affine, dtype=jnp.bfloat16):
     return (q.astype(jnp.float32) * a + b).astype(dtype)
 
 
-def apply_conv_block_i8(params, state, x, affine, *, pool_window: int = 3):
+def apply_conv_block_i8(params, state, x, affine, *, pool_window: int = 3,
+                        ring=None):
     """One eval-mode conv block of the ``int8_mxu`` precision rung.
 
     Same deferred-affine chain as :func:`apply_conv_block_u8`, with two
@@ -213,20 +260,16 @@ def apply_conv_block_i8(params, state, x, affine, *, pool_window: int = 3):
         kq_i8, so = quantize_kernel_i8(kq)
         zi = conv2d_same_i8(x, kq_i8)
         # Constant term conv(b*1, W) + bias — exact on the zero-padding
-        # border ring (edge pixels see fewer taps), one batch-1 conv.
-        ring = conv2d_same(
-            jnp.broadcast_to(b, (1, x.shape[1], x.shape[2], b.shape[0])),
-            kernel, bias, compute_dtype="bfloat16_full")
+        # border ring (edge pixels see fewer taps), strip-computed here
+        # or precomputed per shape (assembly.precompute_rings).
+        if ring is None:
+            ring = const_conv_ring(b, kernel, bias, x.shape[1], x.shape[2])
         z = zi.astype(jnp.float32) * so + ring.astype(jnp.float32)
     z = jax.nn.relu(z)
     scale = conv_quantize_scale(state)
     q = jnp.clip(jnp.rint(z / scale) - 128.0, -128.0, 127.0).astype(jnp.int8)
     q = max_pool(q, pool_window)
-    s = params["gamma"] * jax.lax.rsqrt(state["var"] + BN_EPS)
-    t = params["beta"] - state["mean"] * s
-    a_next = scale * s.astype(jnp.float32)
-    b_next = t.astype(jnp.float32) + 128.0 * a_next
-    return q, (a_next, b_next)
+    return q, i8_pending_affine(params, state)
 
 
 def init_fc_block(key, in_f: int, out_f: int, *, batch_norm: bool = True,

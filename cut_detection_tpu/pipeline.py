@@ -91,7 +91,8 @@ def make_classify_step(net: GluedNet, *,
 
         jit_kwargs = dict(
             in_shardings=(NamedSharding(mesh, P()),
-                          NamedSharding(mesh, P("data"))),
+                          NamedSharding(mesh, P("data")),
+                          NamedSharding(mesh, P())),
             out_shardings=(NamedSharding(mesh, P("data")),
                            NamedSharding(mesh, P("data"))),
         )
@@ -105,7 +106,7 @@ def make_classify_step(net: GluedNet, *,
     fold = not pallas_preprocess
 
     @functools.partial(jax.jit, **jit_kwargs)
-    def step(bundle, frames_u8):
+    def _jitted_step(bundle, frames_u8, rings):
         x = frames_u8
         if device_resize is not None and pallas_preprocess:
             from cut_detection_tpu.ops.pallas import fused_resize_normalize
@@ -125,7 +126,7 @@ def make_classify_step(net: GluedNet, *,
                 x = folded_input(x, net.compute_dtype)
             else:
                 x = normalize_frames(x)
-        logits = net_apply(bundle, x)
+        logits = net_apply(bundle, x, rings)
         conf = jnp.max(logits, axis=1)
         pred = jnp.argmax(logits, axis=1).astype(jnp.int32)
         return conf, pred
@@ -134,15 +135,38 @@ def make_classify_step(net: GluedNet, *,
     # Capture the CONFIGS, not the net: the memo value must not hold a
     # strong reference to its own weak key, or dropped nets (e.g. served
     # models replaced via /reload) would never free their steps.
-    from cut_detection_tpu.models.assembly import _glued_apply
+    from cut_detection_tpu.models.assembly import _glued_apply, precompute_rings
 
     conv_cfg, linear_cfg = net.conv_cfg, net.linear_cfg
     compute_dtype = net.compute_dtype
 
-    def net_apply(bundle, x):
+    def net_apply(bundle, x, rings):
         return _glued_apply(bundle, x, conv_cfg=conv_cfg,
                             linear_cfg=linear_cfg,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, rings=rings)
+
+    # The deferred-affine rungs' ring constants depend only on (bundle,
+    # input shape) but cost a ~0.4 ms small-conv latency floor PER CALL
+    # if left in the graph (scripts/probe_ring_cost.py) — precompute
+    # them once per serving shape and pass them in as resident tensors.
+    # Captures the net's bundle (arrays only — no strong ref to the
+    # weak memo key); callers pass that same bundle per call.
+    if str(compute_dtype) in ("uint8_chain", "int8_mxu"):
+        src_bundle = net.bundle
+        ring_cache: dict = {}
+
+        def step(bundle, frames_u8):
+            hw = (device_resize if device_resize is not None
+                  else tuple(frames_u8.shape[1:3]))
+            rings = ring_cache.get(hw)
+            if rings is None:
+                rings = precompute_rings(src_bundle, conv_cfg, hw[0], hw[1],
+                                         compute_dtype, fold=fold)
+                ring_cache[hw] = rings
+            return _jitted_step(bundle, frames_u8, rings)
+    else:
+        def step(bundle, frames_u8):
+            return _jitted_step(bundle, frames_u8, None)
 
     _STEP_CACHE.setdefault(net, {})[cache_key] = step
     return step

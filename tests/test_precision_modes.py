@@ -131,6 +131,100 @@ def test_uint8_chain_deferred_affine_identity():
                                rtol=2e-4, atol=1e-3)
 
 
+def test_const_conv_ring_strip_matches_full_canvas():
+    """The 3-row strip computation of the deferred-affine constant term
+    is BIT-exact vs the full-canvas batch-1 conv it replaces (every
+    output element is the same dot product over the same taps), across
+    dtypes, odd/even heights, and the h<3 fallback path."""
+    import jax.numpy as jnp
+
+    from cut_detection_tpu.models.layers import const_conv_ring
+    from cut_detection_tpu.ops.nn import conv2d_same
+
+    rng = np.random.default_rng(7)
+    for h, w_, cdt in [(11, 13, "float32"), (12, 9, "bfloat16_full"),
+                       (3, 5, "float32"), (2, 5, "float32"),
+                       (48, 85, "bfloat16_full")]:
+        b = jnp.asarray(rng.standard_normal(5).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(7).astype(np.float32))
+        full = conv2d_same(jnp.broadcast_to(b, (1, h, w_, 5)), k, bias,
+                           compute_dtype=cdt)
+        strip = const_conv_ring(b, k, bias, h, w_, compute_dtype=cdt)
+        assert strip.shape == full.shape
+        np.testing.assert_array_equal(np.asarray(strip), np.asarray(full))
+
+
+def test_precompute_rings_bitexact_vs_in_graph():
+    """assembly.precompute_rings replicates the blocks' affine chain via
+    the shared pending-affine helpers, so logits computed with the
+    precomputed ring constants are BIT-identical to the in-graph rings
+    (this is what keeps the per-call fast path inside the golden-CSV
+    byte-parity guarantee) — for both deferred-affine rungs, folded and
+    unfolded, and at a non-model resolution."""
+    import jax
+    import jax.numpy as jnp
+
+    from cut_detection_tpu.models.assembly import (
+        _glued_apply,
+        fold_preprocess,
+        folded_input,
+        load_default_net,
+        precompute_rings,
+    )
+
+    rng = np.random.default_rng(11)
+    for precision in ("uint8_chain", "int8_mxu"):
+        net, _ = load_default_net(precision=precision)
+        for h, w in [(144, 256), (72, 128)]:
+            frames = jnp.asarray(rng.integers(0, 256, (3, h, w, 3),
+                                              dtype=np.uint8))
+            folded = jax.tree_util.tree_map(jnp.asarray,
+                                            fold_preprocess(net.bundle))
+            x = folded_input(frames, net.compute_dtype)
+            rings = precompute_rings(net.bundle, net.conv_cfg, h, w,
+                                     net.compute_dtype, fold=True)
+            assert rings is not None and len(rings) == 3
+            # int8_mxu's folded layer 1 consumes raw uint8 -> has a ring.
+            assert (rings[0] is not None) == (precision == "int8_mxu")
+            assert rings[1] is not None and rings[2] is not None
+            base = _glued_apply(folded, x, conv_cfg=net.conv_cfg,
+                                linear_cfg=net.linear_cfg,
+                                compute_dtype=net.compute_dtype)
+            fast = _glued_apply(folded, x, conv_cfg=net.conv_cfg,
+                                linear_cfg=net.linear_cfg,
+                                compute_dtype=net.compute_dtype,
+                                rings=rings)
+            np.testing.assert_array_equal(np.asarray(fast), np.asarray(base))
+
+        # Unfolded graph (pallas-preprocess style): float input, layer 1
+        # dense -> no layer-1 ring; mid-stack rings still apply.
+        frames = jnp.asarray(rng.integers(0, 256, (2, 144, 256, 3),
+                                          dtype=np.uint8))
+        x = frames.astype(jnp.float32) / 255.0
+        rings_nf = precompute_rings(net.bundle, net.conv_cfg, 144, 256,
+                                    net.compute_dtype, fold=False)
+        assert rings_nf[0] is None
+        base = _glued_apply(net.bundle, x, conv_cfg=net.conv_cfg,
+                            linear_cfg=net.linear_cfg,
+                            compute_dtype=net.compute_dtype)
+        fast = _glued_apply(net.bundle, x, conv_cfg=net.conv_cfg,
+                            linear_cfg=net.linear_cfg,
+                            compute_dtype=net.compute_dtype, rings=rings_nf)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(base))
+
+
+def test_precompute_rings_none_for_dense_rungs():
+    """Rungs without deferred-affine storage have no rings to precompute."""
+    from cut_detection_tpu.models.assembly import load_default_net, precompute_rings
+
+    net, _ = load_default_net(precision="bfloat16_full")
+    assert precompute_rings(net.bundle, net.conv_cfg, 144, 256,
+                            "bfloat16_full") is None
+    assert precompute_rings(net.bundle, net.conv_cfg, 144, 256,
+                            "float32") is None
+
+
 def test_uint8_chain_interlayer_tensor_is_uint8():
     """The inter-layer activations really are uint8 in the jaxpr (the
     whole point of the rung: 1 B/elem HBM traffic between blocks)."""
