@@ -104,7 +104,7 @@ def make_sharded_classify_step(net, mesh: Mesh, *, tensor_parallel: bool = False
     ``shard_bundle``).  Outputs keep the batch sharding; fetch with
     ``jax.device_get`` (one gather to host).
     """
-    from cut_detection_tpu.models.assembly import _glued_apply
+    from cut_detection_tpu.models.assembly import _glued_apply, precompute_rings
     from cut_detection_tpu.ops.preprocess import normalize_frames
 
     if tensor_parallel:
@@ -115,19 +115,42 @@ def make_sharded_classify_step(net, mesh: Mesh, *, tensor_parallel: bool = False
         )
     else:
         bundle_sharding = NamedSharding(mesh, P())
-    in_shardings = (bundle_sharding, batch_sharding(mesh))
+    in_shardings = (bundle_sharding, batch_sharding(mesh),
+                    NamedSharding(mesh, P()))
     out_shardings = (batch_sharding(mesh), batch_sharding(mesh))
 
-    def _step(bundle, frames_u8):
+    def _step(bundle, frames_u8, rings):
         from cut_detection_tpu.segmentation.rle import device_frame_scores
 
         x = normalize_frames(frames_u8)
         logits = _glued_apply(bundle, x, conv_cfg=net.conv_cfg,
                               linear_cfg=net.linear_cfg,
-                              compute_dtype=net.compute_dtype)
+                              compute_dtype=net.compute_dtype, rings=rings)
         # One source of truth for the per-frame reduction (its
         # torch-matching tie-break contract lives in rle.py).
         return device_frame_scores(logits)
 
-    return jax.jit(_step, in_shardings=in_shardings,
-                   out_shardings=out_shardings)
+    jitted = jax.jit(_step, in_shardings=in_shardings,
+                     out_shardings=out_shardings)
+
+    if str(net.compute_dtype) not in ("uint8_chain", "int8_mxu"):
+        return lambda bundle, frames_u8: jitted(bundle, frames_u8, None)
+
+    # Deferred-affine rungs: the ring constants are input-independent
+    # but cost a ~0.4 ms small-conv latency floor per CALL if computed
+    # in-graph (assembly.precompute_rings) — precompute per shape and
+    # pass them in replicated.  fold=False mirrors this step's
+    # normalize_frames graph (dense float layer 1, mid-stack rings).
+    src_bundle, conv_cfg, compute_dtype = net.bundle, net.conv_cfg, net.compute_dtype
+    ring_cache: dict = {}
+
+    def step(bundle, frames_u8):
+        hw = tuple(frames_u8.shape[1:3])
+        rings = ring_cache.get(hw)
+        if rings is None:
+            rings = precompute_rings(src_bundle, conv_cfg, hw[0], hw[1],
+                                     compute_dtype, fold=False)
+            ring_cache[hw] = rings
+        return jitted(bundle, frames_u8, rings)
+
+    return step
