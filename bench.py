@@ -203,7 +203,6 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
     import jax.numpy as jnp
 
     from cut_detection_tpu.models.assembly import _glued_apply, load_default_net
-    from cut_detection_tpu.ops.preprocess import normalize_frames
 
     if precision is None:
         precision = os.environ.get("BENCH_PRECISION", "uint8_chain")
@@ -218,7 +217,6 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
     # fori_loop would hoist in-graph rings anyway — LICM — but per-call
     # paths pay them, so the shipped graph passes them in; this keeps the
     # bench measuring exactly that graph).
-    fold = True
     from cut_detection_tpu.models.assembly import fold_preprocess, precompute_rings
 
     bundle0 = jax.tree_util.tree_map(jnp.asarray,
@@ -233,8 +231,7 @@ def bench_ours(batch: int, steps: int, min_seconds: float,
             x = frames_u8 + i.astype(jnp.uint8)
             from cut_detection_tpu.models.assembly import folded_input
 
-            xx = folded_input(x, net.compute_dtype) if fold \
-                else normalize_frames(x)
+            xx = folded_input(x, net.compute_dtype)
             logits = _glued_apply(bundle, xx,
                                   conv_cfg=net.conv_cfg,
                                   linear_cfg=net.linear_cfg,
@@ -328,12 +325,16 @@ def _make_bench_clip(path: str, frames: int, w: int = 640,
 
 def _e2e_once(clip: str, out_csv: str, precision: str,
               decode_workers: int, scores: tuple | None,
-              cache_path: str | None) -> dict:
+              cache_path: str | None, net=None) -> dict:
     """One repeat of the per-stage e2e measurement on ``clip``.
 
     ``scores`` (conf, pred) feeds the smooth/CSV timing; when None (first
     repeat), the pipeline call writes them to ``cache_path`` instead of
-    paying an extra full classify pass.
+    paying an extra full classify pass.  ``net`` is the caller's
+    already-loaded model: repeats must share ONE net object so the
+    per-net step memo hits (a fresh load per repeat would bill
+    checkpoint read + weight upload + re-trace to every repeat's
+    e2e_s).
     """
     import jax
     import jax.numpy as jnp
@@ -380,8 +381,8 @@ def _e2e_once(clip: str, out_csv: str, precision: str,
         # the cache hit its failed predecessor may have written.
         os.remove(cache_path)
     t0 = time.perf_counter()
-    segment_video_file(clip, out_csv, print_every=0, precision=precision,
-                       decode_workers=decode_workers,
+    segment_video_file(clip, out_csv, net=net, print_every=0,
+                       precision=precision, decode_workers=decode_workers,
                        cache_path=None if scores else cache_path)
     e2e_s = time.perf_counter() - t0
     if scores is None:
@@ -427,7 +428,14 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
     """
     import tempfile
 
+    from cut_detection_tpu.models.assembly import load_default_net
     from cut_detection_tpu.pipeline import classify_video, segment_video_file
+
+    # ONE net for the warmup, every repeat, and the sustained run: the
+    # per-net step memo (pipeline._STEP_CACHE) only hits on the same net
+    # object, so reloading per call would charge checkpoint read +
+    # weight upload + re-trace to each repeat's timed e2e_s.
+    net, _ = load_default_net(precision=precision)
 
     clip = _make_bench_clip(
         os.path.join(tempfile.gettempdir(), f"cutdet_bench_{frames}.mp4"),
@@ -440,7 +448,7 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
 
     # One short warm pass so jit compile is not billed to any repeat.
     _retry(lambda: _bounded(
-        lambda: classify_video(clip, frame_limit=256, print_every=0,
+        lambda: classify_video(clip, net, frame_limit=256, print_every=0,
                                precision=precision,
                                decode_workers=decode_workers),
         "e2e-warmup"),
@@ -464,7 +472,8 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
             out, scores = _retry(
                 lambda: _bounded(
                     lambda: _e2e_once(clip, out_csv, precision,
-                                      decode_workers, scores, cache_path),
+                                      decode_workers, scores, cache_path,
+                                      net=net),
                     f"e2e-repeat{r}"),
                 f"e2e-repeat{r}", attempts=2, record=degraded)
             runs.append(out)
@@ -499,7 +508,8 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
                 # hangs, not legitimately slow passes.
                 _, seg, stats = _bounded(
                     lambda: segment_video_file(
-                        sclip, out_csv, print_every=0, precision=precision,
+                        sclip, out_csv, net=net, print_every=0,
+                        precision=precision,
                         decode_workers=decode_workers),
                     "e2e-sustained", timeout=2.0 * est + 300.0)
                 wall = time.perf_counter() - t0
@@ -613,7 +623,8 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
 _LADDER = ("uint8_chain", "uint8_pool", "bfloat16_full", "float32")
 
 
-def _cpu_fallback(requested: str) -> tuple[str | None, int]:
+def _cpu_fallback(requested: str,
+                  parent_failures: list | None = None) -> tuple[str | None, int]:
     """Last-resort re-run of this bench on the host CPU backend.
 
     When the TPU tunnel is wedged (backend init hangs, or every ladder
@@ -623,7 +634,10 @@ def _cpu_fallback(requested: str) -> tuple[str | None, int]:
     sitecustomize stripped from PYTHONPATH and JAX pinned to the ``cpu``
     platform, with the flagship knobs shrunk to CPU scale.  The child's
     JSON line carries ``degraded.platform = "cpu"`` so no consumer can
-    mistake it for a chip number.
+    mistake it for a chip number, and the parent's accumulated TPU
+    failure records (``parent_failures``) are merged into its
+    ``degraded.failures`` — the artifact must say WHY the chip path
+    failed, not just that a CPU number replaced it.
 
     Returns ``(json_line, rc)`` from the child, or ``(None, 1)`` when
     the fallback is disabled, recursing, or itself failed.
@@ -682,6 +696,11 @@ def _cpu_fallback(requested: str) -> tuple[str | None, int]:
                 # (and lacks the cpu marker) — fall through to ours.
                 _log("cpu fallback child measured nothing")
                 return None, 1
+            if parent_failures:
+                d = obj.setdefault("degraded", {})
+                d["failures"] = list(parent_failures) + list(
+                    d.get("failures") or [])
+                line = json.dumps(obj)
             return line, proc.returncode
     return None, 1
 
@@ -692,19 +711,24 @@ def _backend_init_with_timeout(timeout_s: float):
     A wedged axon tunnel can make ``jax.devices()`` HANG forever rather
     than raise (observed: >90 min stuck in backend init) — a failure
     mode that bypasses the retry/backoff machinery entirely, since no
-    exception ever surfaces.  Returns the device list, or None on
-    timeout (the caller falls back / emits the diagnostic JSON line, so
-    the driver records a parseable artifact instead of a killed process
-    with no output).  Raises if init raised.  Thin wrapper over the
-    shared daemon-thread bound in ``utils/platform.init_devices`` (an
-    explicit ``CUTDET_INIT_TIMEOUT`` env override wins there).
+    exception ever surfaces.  A relay fault can equally make it RAISE
+    (e.g. "Unable to initialize backend"); both must land on the same
+    fallback path, never a raw traceback with no JSON artifact.  Returns
+    ``(devices, None)`` on success or ``(None, reason)`` on timeout or
+    error (the caller falls back / emits the diagnostic JSON line, so
+    the driver records a parseable artifact instead of a dead process
+    with no output).  Thin wrapper over the shared daemon-thread bound
+    in ``utils/platform.init_devices`` (an explicit
+    ``CUTDET_INIT_TIMEOUT`` env override wins there).
     """
     from cut_detection_tpu.utils.platform import init_devices
 
     try:
-        return init_devices(default_timeout=timeout_s)
+        return init_devices(default_timeout=timeout_s), None
     except TimeoutError:
-        return None
+        return None, f"no devices within {timeout_s:.0f}s (wedged tunnel?)"
+    except Exception as e:  # noqa: BLE001 — any init fault means fallback
+        return None, f"backend init raised {type(e).__name__}: {e}"
 
 
 def main() -> None:
@@ -729,10 +753,12 @@ def main() -> None:
     # budget and still emit the JSON diagnostic line on timeout.
     init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT",
                                         min(600.0, 0.4 * _budget())))
-    if _backend_init_with_timeout(init_timeout) is None:
-        _log(f"backend init did not complete within {init_timeout:.0f}s "
-             "(wedged tunnel?)")
-        line, rc = _cpu_fallback(requested)
+    devices, init_err = _backend_init_with_timeout(init_timeout)
+    if devices is None:
+        _log(f"backend init failed: {init_err}")
+        degraded.append({"stage": "backend-init", "attempt": 1,
+                         "error": init_err})
+        line, rc = _cpu_fallback(requested, parent_failures=degraded)
         if line is not None:
             print(line)
             sys.exit(rc)
@@ -740,9 +766,7 @@ def main() -> None:
             "metric": "frames/sec/chip, 256x144 uint8 -> classify",
             "value": None, "unit": "frames/sec", "vs_baseline": None,
             "degraded": {"requested": requested, "measured": None,
-                         "failures": [{"stage": "backend-init", "attempt": 1,
-                                       "error": f"no devices within "
-                                                f"{init_timeout:.0f}s"}]},
+                         "failures": degraded},
         }))
         sys.exit(1)
     ladder = [requested] + [p for p in _LADDER if p != requested]
@@ -762,7 +786,7 @@ def main() -> None:
     if ours is None:
         # Nothing measured at all on this backend: try the host-CPU
         # fallback before settling for a null diagnostic line.
-        line, rc = _cpu_fallback(requested)
+        line, rc = _cpu_fallback(requested, parent_failures=degraded)
         if line is not None:
             print(line)
             sys.exit(rc)

@@ -561,11 +561,9 @@ def _make_handler(state: _State):
             if swept:
                 logger.info("spool sweep removed %d expired upload(s)",
                             swept)
-            name = "upload.mp4"
-            if "?" in self.path:
-                for part in self.path.split("?", 1)[1].split("&"):
-                    if part.startswith("name="):
-                        name = urllib.parse.unquote(part[5:])
+            query = urllib.parse.parse_qs(
+                urllib.parse.urlparse(self.path).query)
+            name = query.get("name", ["upload.mp4"])[-1] or "upload.mp4"
             # Sanitize: basename only, conservative charset.
             name = re.sub(r"[^A-Za-z0-9._-]", "_",
                           os.path.basename(name)) or "upload.mp4"

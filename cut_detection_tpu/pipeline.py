@@ -105,6 +105,13 @@ def make_classify_step(net: GluedNet, *,
     # <4e-6 on hardware — comfortably inside the 1e-4 parity gate.
     fold = not pallas_preprocess
 
+    # Extract everything the step needs from the net BEFORE defining the
+    # closures: the memo value must not hold a strong reference to its
+    # own weak key (_STEP_CACHE), or dropped nets (e.g. served models
+    # replaced via /reload) would never free their steps.
+    conv_cfg, linear_cfg = net.conv_cfg, net.linear_cfg
+    compute_dtype = net.compute_dtype
+
     @functools.partial(jax.jit, **jit_kwargs)
     def _jitted_step(bundle, frames_u8, rings):
         x = frames_u8
@@ -123,7 +130,7 @@ def make_classify_step(net: GluedNet, *,
                 )
 
                 bundle = fold_preprocess(bundle)
-                x = folded_input(x, net.compute_dtype)
+                x = folded_input(x, compute_dtype)
             else:
                 x = normalize_frames(x)
         logits = net_apply(bundle, x, rings)
@@ -132,13 +139,7 @@ def make_classify_step(net: GluedNet, *,
         return conf, pred
 
     # Bind the net's pure apply (configs are static in the closure).
-    # Capture the CONFIGS, not the net: the memo value must not hold a
-    # strong reference to its own weak key, or dropped nets (e.g. served
-    # models replaced via /reload) would never free their steps.
     from cut_detection_tpu.models.assembly import _glued_apply, precompute_rings
-
-    conv_cfg, linear_cfg = net.conv_cfg, net.linear_cfg
-    compute_dtype = net.compute_dtype
 
     def net_apply(bundle, x, rings):
         return _glued_apply(bundle, x, conv_cfg=conv_cfg,
@@ -273,13 +274,32 @@ def classify_video(
     (:53-58).
     """
     if cache_path and os.path.isfile(cache_path):
-        if preloaded is not None:
-            preloaded[1].close()  # stop the decode-ahead producer
+        # A cache is only valid for the run shape that wrote it: a
+        # frame-limited run writes a TRUNCATED score table that must
+        # never satisfy a later full run (silent short CSV), and the
+        # reference's early-break math (:53-58) keys the kept frame
+        # count on batch_size, so limited runs must match it too.
+        # Older caches lack the metadata and are treated as full runs.
         with np.load(cache_path) as data:
-            logger.info("Loaded cached scores from %s", cache_path)
-            return data["conf"], data["pred"], PipelineStats(
-                frames=int(data["conf"].shape[0])
-            )
+            cached_limit = int(data["frame_limit"]) \
+                if "frame_limit" in data else -1
+            cached_batch = int(data["batch_size"]) \
+                if "batch_size" in data else -1
+            want_limit = -1 if frame_limit is None else int(frame_limit)
+            compatible = cached_limit == want_limit and (
+                want_limit == -1 or cached_batch == batch_size)
+            if compatible:
+                if preloaded is not None:
+                    preloaded[1].close()  # stop the decode-ahead producer
+                logger.info("Loaded cached scores from %s", cache_path)
+                return data["conf"], data["pred"], PipelineStats(
+                    frames=int(data["conf"].shape[0])
+                )
+        logger.info(
+            "Ignoring score cache %s (frame_limit/batch mismatch: "
+            "cached limit=%s batch=%s, requested limit=%s batch=%s)",
+            cache_path, cached_limit, cached_batch,
+            -1 if frame_limit is None else frame_limit, batch_size)
 
     if net is None:
         net, _ = load_default_net(precision=precision)
@@ -394,7 +414,10 @@ def classify_video(
         # a kill mid-savez must leave no half-written file for the
         # resumed run (or a concurrent reader) to choke on.
         tmp = cache_path + ".tmp.npz"
-        np.savez(tmp, conf=conf_np, pred=pred_np)
+        np.savez(tmp, conf=conf_np, pred=pred_np,
+                 frame_limit=np.int64(-1 if frame_limit is None
+                                      else frame_limit),
+                 batch_size=np.int64(batch_size))
         os.replace(tmp, cache_path)
         logger.info("Cached scores to %s", cache_path)
     return conf_np, pred_np, stats
@@ -527,6 +550,11 @@ def segment_many(
     SURVEY.md §2.3; the classify step is jitted with P('data') batch
     sharding and replicated params).
     """
+    if output_paths is not None and len(output_paths) != len(input_paths):
+        raise ValueError(
+            f"output_paths has {len(output_paths)} entries for "
+            f"{len(input_paths)} inputs — must match (or be None for "
+            "default naming)")
     if net is None:
         net, _ = load_default_net(precision=precision)
     # On-device preprocess needs raw frames, which decode-ahead's

@@ -179,7 +179,8 @@ def test_main_total_failure_still_emits_json(monkeypatch, capsys):
     monkeypatch.setattr(bench, "bench_ours", always_fail)
     # Pin the CPU fallback off: this test covers the everything-failed
     # diagnostic line (the fallback's own tests live above).
-    monkeypatch.setattr(bench, "_cpu_fallback", lambda req: (None, 1))
+    monkeypatch.setattr(bench, "_cpu_fallback",
+                        lambda req, parent_failures=None: (None, 1))
     with pytest.raises(SystemExit) as ei:
         bench.main()
     assert ei.value.code == 1
@@ -305,10 +306,11 @@ def test_backend_init_timeout_emits_json(monkeypatch, capsys):
     forever, raising nothing) must still produce the diagnostic JSON
     line instead of a killed process with no output."""
     monkeypatch.setattr(bench, "_backend_init_with_timeout",
-                        lambda t: None)
+                        lambda t: (None, "no devices within 1s"))
     # The CPU fallback fires first now; this test pins the both-failed
     # path (fallback child also produced nothing).
-    monkeypatch.setattr(bench, "_cpu_fallback", lambda req: (None, 1))
+    monkeypatch.setattr(bench, "_cpu_fallback",
+                        lambda req, parent_failures=None: (None, 1))
     with pytest.raises(SystemExit) as ei:
         bench.main()
     assert ei.value.code == 1
@@ -353,7 +355,7 @@ def test_hung_measurement_falls_down_ladder_to_cpu(monkeypatch, capsys):
                         lambda fn, what, timeout=None: (_ for _ in ()).throw(
                             TimeoutError(f"DEADLINE: {what} wedged")))
     monkeypatch.setattr(bench, "_cpu_fallback",
-                        lambda req: ('{"value": 11.0}', 0))
+                        lambda req, parent_failures=None: ('{"value": 11.0}', 0))
     with pytest.raises(SystemExit) as ei:
         bench.main()
     assert ei.value.code == 0
@@ -435,6 +437,61 @@ def test_cpu_fallback_rejects_child_null_line(monkeypatch):
     assert bench._cpu_fallback("uint8_chain") == (None, 1)
 
 
+def test_cpu_fallback_merges_parent_failures(monkeypatch):
+    """A successful fallback child must not ERASE the parent's TPU
+    failure records: the artifact should say why the chip path failed,
+    not just that a CPU number replaced it."""
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        class P:
+            stdout = ('{"value": 9.0, "degraded": {"platform": "cpu", '
+                      '"failures": [{"stage": "classify[float32]", '
+                      '"attempt": 1, "error": "child-side"}]}}\n')
+            returncode = 0
+        return P()
+
+    monkeypatch.delenv("CUTDET_BENCH_FORCE_CPU", raising=False)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    parent = [{"stage": "backend-init", "attempt": 1,
+               "error": "no devices within 60s"}]
+    line, rc = bench._cpu_fallback("uint8_chain", parent_failures=parent)
+    assert rc == 0
+    payload = json.loads(line)
+    failures = payload["degraded"]["failures"]
+    assert failures[0]["stage"] == "backend-init"  # parent's record first
+    assert failures[1]["error"] == "child-side"  # child's kept
+    assert payload["degraded"]["platform"] == "cpu"
+
+
+def test_backend_init_raise_triggers_cpu_fallback(monkeypatch, capsys):
+    """A backend init that RAISES (relay fault surfacing as an exception
+    instead of a hang) must land on the same fallback + diagnostic path,
+    never a raw traceback with no JSON line."""
+    def raising_init(default_timeout):
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    monkeypatch.setattr(
+        "cut_detection_tpu.utils.platform.init_devices", raising_init)
+    captured = {}
+
+    def fake_fallback(req, parent_failures=None):
+        captured["failures"] = list(parent_failures or [])
+        return None, 1
+
+    monkeypatch.setattr(bench, "_cpu_fallback", fake_fallback)
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 1
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] is None
+    rec = payload["degraded"]["failures"][0]
+    assert rec["stage"] == "backend-init"
+    assert "Unable to initialize backend" in rec["error"]
+    # The fallback saw the same record (it merges into a child's line).
+    assert captured["failures"] and captured["failures"][0] == rec
+
+
 def test_cpu_fallback_never_recurses(monkeypatch):
     monkeypatch.setenv("CUTDET_BENCH_FORCE_CPU", "1")
     assert bench._cpu_fallback("uint8_chain") == (None, 1)
@@ -449,10 +506,12 @@ def test_cpu_fallback_can_be_disabled(monkeypatch):
 def test_backend_init_hang_triggers_cpu_fallback(monkeypatch, capsys):
     """A hung backend init now re-runs on the host CPU and relays the
     child's JSON line with rc=0 instead of recording value: null."""
-    monkeypatch.setattr(bench, "_backend_init_with_timeout", lambda t: None)
+    monkeypatch.setattr(bench, "_backend_init_with_timeout",
+                        lambda t: (None, "no devices within 1s"))
     monkeypatch.setattr(
         bench, "_cpu_fallback",
-        lambda req: ('{"value": 9.0, "degraded": {"platform": "cpu"}}', 0))
+        lambda req, parent_failures=None: (
+            '{"value": 9.0, "degraded": {"platform": "cpu"}}', 0))
     with pytest.raises(SystemExit) as ei:
         bench.main()
     assert ei.value.code == 0
@@ -470,7 +529,7 @@ def test_all_rungs_failed_triggers_cpu_fallback(monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "bench_ours", always_fail)
     monkeypatch.setattr(bench, "_cpu_fallback",
-                        lambda req: ('{"value": 9.0}', 0))
+                        lambda req, parent_failures=None: ('{"value": 9.0}', 0))
     with pytest.raises(SystemExit) as ei:
         bench.main()
     assert ei.value.code == 0
@@ -497,7 +556,8 @@ def test_child_mode_marks_degraded_platform(monkeypatch, capsys):
 def test_backend_init_with_timeout_completes():
     # On the (forced-CPU) test backend init completes well inside the
     # bound and the device list is returned.
-    assert bench._backend_init_with_timeout(30) is not None
+    devices, err = bench._backend_init_with_timeout(30)
+    assert devices is not None and err is None
 
 
 def test_stage_bound_timeout_not_retried_in_place(monkeypatch):

@@ -245,6 +245,40 @@ def test_score_cache_roundtrip(synthetic_video, tmp_path):
     assert stats.batches == 0  # served from cache
 
 
+def test_score_cache_keyed_on_frame_limit(synthetic_video, tmp_path):
+    """A frame-limited run writes a TRUNCATED cache; a later full run
+    must recompute, not silently serve the short table (and vice versa:
+    a full cache must not satisfy a limited request unsliced)."""
+    cache = str(tmp_path / "scores.npz")
+    conf_lim, _, _ = classify_video(synthetic_video, batch_size=32,
+                                    frame_limit=40, cache_path=cache,
+                                    print_every=0)
+    assert conf_lim.shape[0] < 200  # actually truncated
+
+    conf_full, _, stats = classify_video(synthetic_video, batch_size=32,
+                                         cache_path=cache, print_every=0)
+    assert stats.batches > 0  # recomputed, not served from the short cache
+    assert conf_full.shape[0] > conf_lim.shape[0]
+
+    # The full run overwrote the cache; a limited request recomputes.
+    conf_lim2, _, stats = classify_video(synthetic_video, batch_size=32,
+                                         frame_limit=40, cache_path=cache,
+                                         print_every=0)
+    assert stats.batches > 0
+    np.testing.assert_array_equal(conf_lim, conf_lim2)
+
+    # Same limit + same batch size IS served from cache; a different
+    # batch size (different early-break frame count) is not.
+    _, _, stats = classify_video(synthetic_video, batch_size=32,
+                                 frame_limit=40, cache_path=cache,
+                                 print_every=0)
+    assert stats.batches == 0
+    _, _, stats = classify_video(synthetic_video, batch_size=64,
+                                 frame_limit=40, cache_path=cache,
+                                 print_every=0)
+    assert stats.batches > 0
+
+
 def test_bf16_full_folded_pipeline_matches_f32(synthetic_video, tmp_path):
     """The perf mode (bf16_full + preprocess folded into conv1 weights)
     must produce the same CSV as strict float32 on the fixtures."""
@@ -305,6 +339,18 @@ def test_segment_many_reuses_model(synthetic_video, tmp_path):
                            batch_size=64, print_every=0)
     assert [r[0] for r in results] == outs
     assert open(outs[0], "rb").read() == open(outs[1], "rb").read()
+
+
+def test_segment_many_rejects_mismatched_outputs(synthetic_video, tmp_path):
+    """A shorter output list must fail fast, not IndexError mid-batch
+    after some videos already segmented."""
+    from cut_detection_tpu.pipeline import segment_many
+
+    with pytest.raises(ValueError, match="output_paths"):
+        segment_many([synthetic_video, synthetic_video],
+                     [str(tmp_path / "only_one.csv")],
+                     batch_size=64, print_every=0)
+    assert not os.path.exists(tmp_path / "only_one.csv")  # nothing ran
 
 
 def test_pipeline_sharded_over_mesh(synthetic_video, tmp_path):
@@ -634,6 +680,28 @@ def test_classify_step_memoized_per_net():
     assert make_classify_step(net, device_resize=(144, 256)) is s3
     net2, _ = load_default_net()
     assert make_classify_step(net2) is not s1
+
+
+def test_classify_step_cache_frees_dropped_nets():
+    """The memo is weakly keyed AND its values must not capture the net:
+    a dropped model (e.g. replaced via serve /reload) frees its steps
+    instead of leaking weights + executables for the daemon's lifetime."""
+    import gc
+    import weakref
+
+    from cut_detection_tpu.models.assembly import load_default_net
+    from cut_detection_tpu.pipeline import _STEP_CACHE, make_classify_step
+
+    for precision in ("float32", "uint8_chain"):
+        net, _ = load_default_net(precision=precision)
+        make_classify_step(net)
+        make_classify_step(net, device_resize=(144, 256))
+        ref = weakref.ref(net)
+        assert net in _STEP_CACHE
+        del net
+        gc.collect()
+        assert ref() is None, (
+            f"{precision}: net kept alive by its own memoized step")
 
 
 def test_score_cache_written_atomically(synthetic_video, tmp_path,
