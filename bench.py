@@ -413,6 +413,24 @@ def _e2e_once(clip: str, out_csv: str, precision: str,
     }, scores
 
 
+def _headline_efficiency(per_repeat_eff: list) -> tuple[float, float | None]:
+    """Headline overlap efficiency from the per-repeat values.
+
+    Returns ``(efficiency, drift)``: the median per-repeat efficiency
+    clamped to the physical ceiling of 1.0, plus the raw median when it
+    exceeded the ceiling (``None`` otherwise).  A raw median > 1 is
+    physically impossible overlap — it means the shared host ran slower
+    during the standalone stage passes than during the pipeline pass
+    (the documented ~2x run-to-run drift) — so the artifact's headline
+    must not report it as an efficiency; the raw value is preserved in
+    the ``drift`` field for diagnosis.
+    """
+    med = float(np.median(per_repeat_eff))
+    if med > 1.0:
+        return 1.0, round(med, 3)
+    return round(med, 3), None
+
+
 def bench_e2e(precision: str, frames: int, decode_workers: int,
               repeats: int, classify_fps: float | None,
               degraded: list, sustained_frames: int) -> dict:
@@ -549,6 +567,7 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
         _eff(r["decode_s"], r["transfer_s"], r["e2e_s"],
              (r["smooth_ms"] + r["csv_ms"]) / 1e3)
         for r in runs]
+    eff, eff_drift = _headline_efficiency(per_repeat_eff)
     # Diagnostic serial/bound from the best-observed stage times (lower
     # bounds on true serial time); the headline efficiency is the MEDIAN
     # of the per-repeat values — any cross-repeat pairing (even
@@ -592,8 +611,10 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
             # 1.0 = perfect overlap (e2e == max stage); 0.0 = fully
             # serial.  The headline is the MEDIAN of the per-repeat
             # efficiencies — stage timings are only comparable WITHIN a
-            # repeat on this ~2x-drifting shared host.
-            "efficiency": round(float(np.median(per_repeat_eff)), 3),
+            # repeat on this ~2x-drifting shared host — clamped to the
+            # physical ceiling (an above-1 raw median, which only host
+            # drift can produce, is reported in ``drift`` instead).
+            "efficiency": eff,
             # Each repeat's own internally-consistent efficiency; a value
             # > 1 means the host ran slower during that repeat's
             # standalone stage pass than during its pipeline pass (the
@@ -613,6 +634,8 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
         },
         "truncated": truncated,
     }
+    if eff_drift is not None:
+        result["overlap"]["drift"] = eff_drift
     if sustained is not None:
         result["sustained"] = sustained
     return result

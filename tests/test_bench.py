@@ -78,9 +78,15 @@ def test_bench_e2e_real_tiny(monkeypatch, tmp_path):
     assert len(res["repeats"]) == 2
     for k in ("e2e_fps", "decode_fps", "transfer_fps", "classify_fps"):
         assert res["median"][k] > 0
-    assert set(res["overlap"]) == {"e2e_s", "serial_sum_s", "max_stage_s",
-                                   "efficiency", "per_repeat_efficiency"}
+    assert set(res["overlap"]) - {"drift"} == {
+        "e2e_s", "serial_sum_s", "max_stage_s",
+        "efficiency", "per_repeat_efficiency"}
     assert len(res["overlap"]["per_repeat_efficiency"]) == len(res["repeats"])
+    # The headline efficiency is clamped to the physical ceiling; a raw
+    # median above it (host drift) moves to the optional "drift" field.
+    assert res["overlap"]["efficiency"] <= 1.0
+    if "drift" in res["overlap"]:
+        assert res["overlap"]["drift"] > 1.0
     # The aggregate uses best-observed stage times vs median e2e: with
     # consistent stage rates it can't exceed a per-repeat ceiling by
     # construction (serial from minima is a lower bound on serial time).
@@ -91,6 +97,16 @@ def test_bench_e2e_real_tiny(monkeypatch, tmp_path):
     proj = res["projection_v5e8"]
     assert proj["bottleneck_fps"] > 0 and proj["seconds_per_3h_game"] > 0
     assert res["truncated"] is False
+
+
+def test_headline_efficiency_clamps_drift():
+    """An above-1 raw median (host drift) clamps to 1.0 with the raw
+    value preserved in drift; a physical median passes through."""
+    assert bench._headline_efficiency([0.4, 0.5, 0.6]) == (0.5, None)
+    eff, drift = bench._headline_efficiency([0.455, 1.76, 1.535])
+    assert eff == 1.0 and drift == 1.535
+    # Boundary: exactly 1.0 is physical, not drift.
+    assert bench._headline_efficiency([1.0, 1.0, 1.0]) == (1.0, None)
 
 
 def test_retry_recovers_from_transient_failure(monkeypatch):
