@@ -413,6 +413,54 @@ def _e2e_once(clip: str, out_csv: str, precision: str,
     }, scores
 
 
+def _roofline(precision: str, fps: float | None) -> dict | None:
+    """Naive HBM-roofline derivation for the measured headline rung.
+
+    Emits the arithmetic behind the "fraction of roofline" claim
+    (docs/PERFORMANCE.md) so it is auditable per run: bytes/frame =
+    input read + every materialized activation written + re-read at its
+    stored dtype (conv outputs round-trip HBM around the pool —
+    ``reduce_window`` never fuses into a convolution; pooled tensors
+    round-trip into the next conv).  Speed-of-light fps = peak HBM
+    bandwidth / bytes-per-frame; ``attained_fraction`` = measured / SoL.
+    "Naive" = pure-bandwidth model: no MXU time, no conversion tensors
+    (uint8_chain's uint8->bf16 operand materialization is real traffic
+    the model ignores, so the true ceiling is lower than this SoL).
+    """
+    if not fps:
+        return None
+    # Stored-activation byte widths per rung: conv outputs vs pooled
+    # tensors (uint8_pool stores the pooled activation as bf16; the
+    # chain/int8 rungs keep raw uint8/int8 end to end).
+    widths = {"float32": (4, 4), "bfloat16": (4, 4), "bfloat16_full": (2, 2),
+              "uint8_pool": (1, 2), "uint8_chain": (1, 1),
+              "int8_mxu": (1, 1)}
+    if precision not in widths:
+        return None
+    conv_b, pool_b = widths[precision]
+    h, w, cin, ch, layers = 144, 256, 3, 48, 3  # prod net, bench input
+    peak_gbps = 819.0  # TPU v5e (v5 lite) datasheet HBM bandwidth
+    terms = {"input_read": h * w * cin}
+    hh, ww = h, w
+    for i in range(layers):
+        terms[f"l{i + 1}_conv_out_wr"] = 2 * hh * ww * ch * conv_b
+        hh, ww = hh // 3, ww // 3
+        terms[f"l{i + 1}_pooled_wr"] = 2 * hh * ww * ch * pool_b
+    bytes_per_frame = sum(terms.values())
+    sol_fps = peak_gbps * 1e9 / bytes_per_frame
+    return {
+        "model": ("input read + each materialized activation written+"
+                  "re-read at its stored dtype; no MXU/conversion terms"),
+        "precision": precision,
+        "bytes_per_frame": bytes_per_frame,
+        "terms_bytes": terms,
+        "peak_hbm_GBps": peak_gbps,
+        "speed_of_light_fps": round(sol_fps, 0),
+        "attained_fps": round(fps, 1),
+        "attained_fraction": round(fps / sol_fps, 3),
+    }
+
+
 def _headline_efficiency(per_repeat_eff: list) -> tuple[float, float | None]:
     """Headline overlap efficiency from the per-repeat values.
 
@@ -427,7 +475,11 @@ def _headline_efficiency(per_repeat_eff: list) -> tuple[float, float | None]:
     """
     med = float(np.median(per_repeat_eff))
     if med > 1.0:
-        return 1.0, round(med, 3)
+        drift = round(med, 3)
+        # A raw median barely above 1 (e.g. 1.0004) rounds to exactly
+        # 1.0 — the clamp applies but no meaningful drift is reportable
+        # (consumers assert drift > 1 strictly), so omit the field.
+        return 1.0, drift if drift > 1.0 else None
     return round(med, 3), None
 
 
@@ -835,6 +887,9 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(ours / ref, 2) if ref else None,
     }
+    roof = _roofline(precision, ours)
+    if roof is not None:
+        result["roofline"] = roof
     if degraded or precision != requested:
         result["degraded"] = {"requested": requested, "measured": precision,
                               "failures": degraded}

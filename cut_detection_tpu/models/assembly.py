@@ -196,10 +196,17 @@ def precompute_rings(bundle, conv_cfg: ConvNetConfig, h: int, w: int,
     if cd not in ("uint8_chain", "int8_mxu"):
         return None
     from cut_detection_tpu.models.layers import (
+        POOL_WINDOW,
         const_conv_ring,
         i8_pending_affine,
         u8_pending_affine,
     )
+
+    if len(bundle["conv"]["params"]) != conv_cfg.n_conv_layers:
+        raise ValueError(
+            f"bundle has {len(bundle['conv']['params'])} conv layers but "
+            f"conv_cfg.n_conv_layers={conv_cfg.n_conv_layers} — the ring "
+            "shape walk below would desync from the graph")
 
     if fold:
         bundle = fold_preprocess(bundle)
@@ -227,7 +234,9 @@ def precompute_rings(bundle, conv_cfg: ConvNetConfig, h: int, w: int,
             _, b = affine
             rings.append(const_conv_ring(b, kernel, p["bias"], hh, ww))
         affine = pend(p, s)
-        hh, ww = hh // 3, ww // 3  # maxpool window 3, stride 3, floor
+        # Stride = layers.POOL_WINDOW (the blocks' default), floor — the
+        # one shared constant keeps ring shapes synced with the graph.
+        hh, ww = hh // POOL_WINDOW, ww // POOL_WINDOW
     return tuple(rings)
 
 

@@ -32,6 +32,14 @@ from cut_detection_tpu.ops.nn import (
 )
 
 
+# The reference's maxpool window AND stride (net.py:90-120: k=3 pool,
+# stride 3 implied).  Single source of truth: the conv blocks below
+# default to it, and assembly.precompute_rings walks per-layer ring
+# shapes with the same constant — if the pool window ever becomes
+# configurable, both must change together through this name.
+POOL_WINDOW = 3
+
+
 def _kaiming_uniform_bound(fan_in: int) -> float:
     """torch's default Conv2d/Linear weight init: kaiming_uniform(a=sqrt(5)),
     which works out to U(-sqrt(1/fan_in)*sqrt(3)... ) == U(+-1/sqrt(fan_in))
@@ -67,7 +75,7 @@ def init_conv_block(key, in_ch: int, out_ch: int, *, kernel: int = 3,
 
 
 def apply_conv_block(params, state, x, *, train: bool = False,
-                     pool_window: int = 3, compute_dtype=None):
+                     pool_window: int = POOL_WINDOW, compute_dtype=None):
     """conv -> ReLU -> maxpool -> BN, exactly net.py:33-40's order.
 
     ``compute_dtype="uint8_pool"`` (eval only, needs BN): the fastest
@@ -167,7 +175,7 @@ def i8_pending_affine(params, state):
     return a, b + 128.0 * a
 
 
-def apply_conv_block_u8(params, state, x, affine, *, pool_window: int = 3,
+def apply_conv_block_u8(params, state, x, affine, *, pool_window: int = POOL_WINDOW,
                         ring=None):
     """One eval-mode conv block of the ``uint8_chain`` precision rung.
 
@@ -218,7 +226,7 @@ def dequantize_u8(q, affine, dtype=jnp.bfloat16):
     return (q.astype(jnp.float32) * a + b).astype(dtype)
 
 
-def apply_conv_block_i8(params, state, x, affine, *, pool_window: int = 3,
+def apply_conv_block_i8(params, state, x, affine, *, pool_window: int = POOL_WINDOW,
                         ring=None):
     """One eval-mode conv block of the ``int8_mxu`` precision rung.
 

@@ -13,6 +13,7 @@ from cut_detection_tpu.segmentation.rle import (
     INVERSE_LAB_ENUM,
     device_frame_scores,
     device_segment_reduce,
+    device_segment_reduce_unchecked,
 )
 from cut_detection_tpu.segmentation.glue import (
     find_orphans,
@@ -31,6 +32,7 @@ __all__ = [
     "INVERSE_LAB_ENUM",
     "device_frame_scores",
     "device_segment_reduce",
+    "device_segment_reduce_unchecked",
     "find_orphans",
     "glue_orphans",
     "combine_adjacent_segments",

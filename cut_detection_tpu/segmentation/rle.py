@@ -45,7 +45,31 @@ def device_frame_scores(logits):
 
 
 def device_segment_reduce(conf, pred, max_segments: int):
-    """Full RLE on device with a static segment bound (jit-compatible).
+    """Full RLE on device with a static segment bound — overflow-checked.
+
+    The safe default export: runs :func:`device_segment_reduce_unchecked`
+    and then fetches ``num_segments`` (one scalar host sync) to verify it
+    fits the ``max_segments`` bound, raising ``ValueError`` on overflow
+    instead of silently returning a truncated table (segment ids past the
+    bound are dropped by the underlying segment reductions — a caller
+    that missed the old "CALLER MUST CHECK" contract would corrupt its
+    output with no error).  Fused jit pipelines that cannot afford the
+    sync — and do their own bound check, like
+    device_glue.smooth_logits — call the unchecked kernel directly.
+    """
+    out = device_segment_reduce_unchecked(conf, pred, max_segments)
+    num_segments = int(out[0])
+    if num_segments > max_segments:
+        raise ValueError(
+            f"device_segment_reduce overflow: {num_segments} segments "
+            f"exceed max_segments={max_segments}; rows past the bound "
+            "would be silently dropped. Raise max_segments (a power-of-"
+            "two bucket keeps compilations shared across videos).")
+    return out
+
+
+def device_segment_reduce_unchecked(conf, pred, max_segments: int):
+    """Raw jit-compatible RLE kernel (no host sync, no overflow check).
 
     Returns ``(num_segments, start_frames, end_frames, frame_types,
     run_lengths, score_means)`` where arrays are padded to ``max_segments``
@@ -57,10 +81,11 @@ def device_segment_reduce(conf, pred, max_segments: int):
     the bound are silently dropped by the segment reductions (a jit
     constraint — the check needs a host fetch, which this function
     cannot do without forcing synchronization; device_glue.smooth_logits
-    does exactly that check and raises).  ``run_lengths`` come back as
-    int32 under the default x64-disabled config (the astype is a no-op
-    there); host-side consumers needing the reference's int64 dtype
-    convert after fetching.
+    does exactly that check and raises, and the checked
+    :func:`device_segment_reduce` wrapper is the default export).
+    ``run_lengths`` come back as int32 under the default x64-disabled
+    config (the astype is a no-op there); host-side consumers needing
+    the reference's int64 dtype convert after fetching.
     """
     n = conf.shape[0]
     boundary = jnp.concatenate(

@@ -26,7 +26,8 @@ def test_main_prints_single_json_line(monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     payload = json.loads(out[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline",
+                            "roofline"}
     assert payload["value"] == 12345.6
     assert payload["vs_baseline"] == pytest.approx(1234.56)
     assert payload["unit"] == "frames/sec"
@@ -107,6 +108,33 @@ def test_headline_efficiency_clamps_drift():
     assert eff == 1.0 and drift == 1.535
     # Boundary: exactly 1.0 is physical, not drift.
     assert bench._headline_efficiency([1.0, 1.0, 1.0]) == (1.0, None)
+
+
+def test_headline_efficiency_barely_above_one_omits_drift():
+    """A raw median that ROUNDS to 1.0 clamps without emitting a drift
+    field (consumers assert drift > 1 strictly)."""
+    assert bench._headline_efficiency([1.0004, 1.0004, 1.0004]) == (1.0, None)
+
+
+def test_roofline_derivation():
+    """The roofline field carries an auditable derivation: terms sum to
+    bytes_per_frame, SoL = peak BW / bytes, fraction = attained / SoL."""
+    roof = bench._roofline("uint8_chain", 122388.0)
+    assert roof["bytes_per_frame"] == sum(roof["terms_bytes"].values())
+    # uint8_chain stores every activation at 1 B: input read 110,592 +
+    # layer-1 conv round trip 2*144*256*48 dominates.
+    assert roof["terms_bytes"]["input_read"] == 144 * 256 * 3
+    assert roof["terms_bytes"]["l1_conv_out_wr"] == 2 * 144 * 256 * 48
+    sol = roof["peak_hbm_GBps"] * 1e9 / roof["bytes_per_frame"]
+    assert abs(roof["speed_of_light_fps"] - round(sol)) <= 1
+    assert abs(roof["attained_fraction"] - 122388.0 / sol) < 1e-3
+    assert 0 < roof["attained_fraction"] < 1
+    # bf16_full moves 2x the activation bytes -> lower SoL.
+    roof16 = bench._roofline("bfloat16_full", 81153.0)
+    assert roof16["bytes_per_frame"] > roof["bytes_per_frame"]
+    # Unknown rung / no measurement -> no field.
+    assert bench._roofline("weird", 1.0) is None
+    assert bench._roofline("uint8_chain", None) is None
 
 
 def test_retry_recovers_from_transient_failure(monkeypatch):
