@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="cv2",
                    help="Decode backend: OpenCV, the native libav stage, "
                         "or auto (native when built).")
+    p.add_argument("--decode-process", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="Run host decode in a subprocess feeding a shared-"
+                        "memory batch ring so it overlaps the device "
+                        "transfer (auto: on for accelerator backends).")
     p.add_argument("--device-resize", action="store_true",
                    help="Resize frames on the accelerator (bit-exact cv2 "
                         "emulation) instead of the host.")
@@ -126,6 +131,8 @@ def main(args=None) -> str:
             print_every=ns.print_every,
             decode_workers=ns.decode_workers,
             decoder=ns.decoder,
+            decode_process={"auto": "auto", "on": True,
+                            "off": False}[ns.decode_process],
             device_resize=ns.device_resize,
             pallas_preprocess=ns.pallas_preprocess,
             cache_path=ns.cache_scores,

@@ -157,6 +157,15 @@ def make_classify_step(net: GluedNet, *,
         ring_cache: dict = {}
 
         def step(bundle, frames_u8):
+            if bundle is not src_bundle:
+                # The ring constants below are precomputed from the
+                # CREATING net's bundle; a different bundle would get
+                # logits silently computed with mismatched rings.
+                raise ValueError(
+                    "quantized-rung steps must be called with the "
+                    "creating net's own bundle (ring constants are "
+                    "precomputed from it); build a step for the new "
+                    "net via make_classify_step instead")
             hw = (device_resize if device_resize is not None
                   else tuple(frames_u8.shape[1:3]))
             rings = ring_cache.get(hw)
@@ -247,6 +256,25 @@ def start_decode_ahead(
     return PreloadedDecode(source, loader, batch_size, resize)
 
 
+def _resolve_decode_process(decode_process) -> bool:
+    """Resolve the ``decode_process`` tri-state ("auto"/True/False).
+
+    "auto" turns the subprocess decoder on exactly where it wins: on
+    accelerator backends, whose ``device_put`` blocks with the GIL held
+    through the relay (measured: cpu_frac ~0.08 during the put loop yet
+    a decode THREAD gets no cycles — scripts/probe_e2e_phase2.py), so
+    only a separate process can overlap decode with transfer.  On the
+    CPU backend (tests, dev) the in-process thread loader is cheaper
+    than a spawn per video.
+    """
+    if decode_process == "auto":
+        try:
+            return jax.default_backend() != "cpu"
+        except Exception:  # backend init failure surfaces elsewhere
+            return False
+    return bool(decode_process)
+
+
 def classify_video(
     input_path: str,
     net: GluedNet | None = None,
@@ -265,6 +293,7 @@ def classify_video(
     decoder: str = "cv2",
     prefetch_batches: int = 2,
     preloaded=None,
+    decode_process: bool | str = "auto",
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
     """Run decode + classification; return per-frame (conf, pred, stats).
 
@@ -272,6 +301,13 @@ def classify_video(
     (:103-105), log every 50 batches (:47-51,:106-111), and the
     ``--frame-limit`` early break *after* the batch that crosses the limit
     (:53-58).
+
+    ``decode_process`` ("auto" default) runs the host decode in a
+    SUBPROCESS feeding a shared-memory batch ring (data/shm_loader.py):
+    on the relay-attached TPU, in-process threads cannot overlap decode
+    with the GIL-holding transfers, a separate process can.  Decoded
+    bytes are identical either way (same sources + batching), so CSV
+    parity is unaffected.
     """
     if cache_path and os.path.isfile(cache_path):
         # A cache is only valid for the run shape that wrote it: a
@@ -279,14 +315,15 @@ def classify_video(
         # never satisfy a later full run (silent short CSV), and the
         # reference's early-break math (:53-58) keys the kept frame
         # count on batch_size, so limited runs must match it too.
-        # Older caches lack the metadata and are treated as full runs.
+        # Caches missing the metadata (written by older code, which
+        # could have truncated them) are INCOMPATIBLE — recomputing one
+        # extra time beats grandfathering the silent-short-CSV bug in.
         with np.load(cache_path) as data:
-            cached_limit = int(data["frame_limit"]) \
-                if "frame_limit" in data else -1
-            cached_batch = int(data["batch_size"]) \
-                if "batch_size" in data else -1
+            has_meta = "frame_limit" in data and "batch_size" in data
+            cached_limit = int(data["frame_limit"]) if has_meta else None
+            cached_batch = int(data["batch_size"]) if has_meta else None
             want_limit = -1 if frame_limit is None else int(frame_limit)
-            compatible = cached_limit == want_limit and (
+            compatible = has_meta and cached_limit == want_limit and (
                 want_limit == -1 or cached_batch == batch_size)
             if compatible:
                 if preloaded is not None:
@@ -296,9 +333,12 @@ def classify_video(
                     frames=int(data["conf"].shape[0])
                 )
         logger.info(
-            "Ignoring score cache %s (frame_limit/batch mismatch: "
-            "cached limit=%s batch=%s, requested limit=%s batch=%s)",
-            cache_path, cached_limit, cached_batch,
+            "Ignoring score cache %s (%s: cached limit=%s batch=%s, "
+            "requested limit=%s batch=%s)",
+            cache_path,
+            "frame_limit/batch mismatch" if has_meta
+            else "no run-shape metadata (pre-metadata cache)",
+            cached_limit, cached_batch,
             -1 if frame_limit is None else frame_limit, batch_size)
 
     if net is None:
@@ -335,6 +375,21 @@ def classify_video(
                 f"preloaded decode was built with batch_size={pre_bs}, "
                 f"resize={pre_rs} but classify_video was called with "
                 f"batch_size={batch_size}, resize={resize}")
+        use_proc = False
+    elif (use_proc := _resolve_decode_process(decode_process)):
+        from cut_detection_tpu.data.shm_loader import ShmDecodeLoader
+
+        # copy_out on the CPU backend: its device_put may zero-copy
+        # alias the numpy buffer, and the ring recycles slots.
+        source = ShmDecodeLoader(
+            input_path,
+            batch_size=batch_size,
+            resize=None if on_device_preprocess else resize,
+            decode_workers=decode_workers,
+            decode_chunk_frames=decode_chunk_frames,
+            decoder=decoder,
+            copy_out=jax.default_backend() == "cpu",
+        )
     else:
         source = _make_source(
             input_path,
@@ -356,6 +411,8 @@ def classify_video(
     if mesh is not None and batch_size % mesh.shape["data"]:
         if preloaded is not None:
             preloaded[1].close()
+        if use_proc:
+            source.close()
         raise ValueError(
             f"batch_size={batch_size} must divide over the data axis "
             f"({mesh.shape['data']} shards)")
@@ -366,14 +423,18 @@ def classify_video(
     meter.start()
     confs, preds, valids = [], [], []
     stats = PipelineStats()
-    # Decode-ahead: batch assembly runs on a producer thread so host
-    # decode overlaps the host->device transfer + dispatch of the
-    # previous batch (the two dominant e2e stages; without this they
-    # serialize and e2e ~= decode + transfer instead of max(of them)).
+    # Decode-ahead: with ``use_proc`` the loader IS the decode-ahead (a
+    # subprocess filling the shared-memory ring — the only mechanism
+    # that overlaps decode with the GIL-holding relay transfers);
+    # otherwise batch assembly runs on a producer thread so decode
+    # overlaps the transfer + dispatch of the previous batch where the
+    # backend allows it.
     from cut_detection_tpu.data.loader import PrefetchLoader
 
     if preloaded is not None:
         batches = preloaded_batches
+    elif use_proc:
+        batches = source
     else:
         batches = PrefetchLoader(batch_frames(source, batch_size),
                                  depth=prefetch_batches) \
@@ -391,7 +452,7 @@ def classify_video(
                         (i + 1) * batch_size)
         # Reference early-break semantics (segment_video.py:53-58).
         if frame_limit is not None and (i + 1) * batch_size > frame_limit:
-            if isinstance(batches, PrefetchLoader):
+            if hasattr(batches, "close"):  # PrefetchLoader / ShmDecodeLoader
                 batches.close()
             break
 
@@ -496,6 +557,7 @@ def segment_video_file(
     decoder: str = "cv2",
     device_glue: bool = False,
     preloaded=None,
+    decode_process: bool | str = "auto",
 ) -> tuple[str, Segmentation, PipelineStats]:
     """Full pipeline to CSV; returns (csv_path, segmentation, stats).
 
@@ -513,7 +575,7 @@ def segment_video_file(
         decode_chunk_frames=decode_chunk_frames,
         device_resize=device_resize, pallas_preprocess=pallas_preprocess,
         cache_path=cache_path, precision=precision, mesh=mesh,
-        decoder=decoder, preloaded=preloaded,
+        decoder=decoder, preloaded=preloaded, decode_process=decode_process,
     )
 
     seg = _smooth(conf, pred, base_threshold, blank_threshold,
