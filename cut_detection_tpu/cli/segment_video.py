@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run host decode in a subprocess feeding a shared-"
                         "memory batch ring so it overlaps the device "
                         "transfer (auto: on for accelerator backends).")
+    p.add_argument("--transfer", choices=["bgr", "yuv420"], default="bgr",
+                   help="Host->device frame format: bgr (3 B/px, byte-"
+                        "parity path) or yuv420 (1.5 B/px planar upload, "
+                        "bit-exact swscale YUV->BGR on device; accuracy-"
+                        "gated fast path — the resize happens in YUV "
+                        "space).")
     p.add_argument("--device-resize", action="store_true",
                    help="Resize frames on the accelerator (bit-exact cv2 "
                         "emulation) instead of the host.")
@@ -133,6 +139,7 @@ def main(args=None) -> str:
             decoder=ns.decoder,
             decode_process={"auto": "auto", "on": True,
                             "off": False}[ns.decode_process],
+            transfer=ns.transfer,
             device_resize=ns.device_resize,
             pallas_preprocess=ns.pallas_preprocess,
             cache_path=ns.cache_scores,

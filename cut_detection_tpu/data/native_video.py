@@ -60,6 +60,13 @@ def _load():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.vd_read_frame.argtypes = [ctypes.c_void_p, u8p]
         lib.vd_read_stashed.argtypes = [ctypes.c_void_p, u8p]
+        if hasattr(lib, "vd_read_frame_yuv"):  # stale .so tolerance
+            lib.vd_read_frame_yuv.argtypes = [ctypes.c_void_p, u8p,
+                                              ctypes.c_int, ctypes.c_int]
+            lib.vd_read_stashed_yuv.argtypes = [ctypes.c_void_p, u8p,
+                                                ctypes.c_int, ctypes.c_int]
+            lib.vd_yuv420_to_bgr24.argtypes = [u8p, u8p, u8p, ctypes.c_int,
+                                               ctypes.c_int, u8p]
         lib.vd_seek_frame.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         if hasattr(lib, "vd_seek_frame_from"):  # stale .so tolerance
             lib.vd_seek_frame_from.argtypes = [ctypes.c_void_p,
@@ -72,6 +79,112 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def yuv_available() -> bool:
+    """True when the built .so has the planar-YUV420 entry points."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "vd_read_frame_yuv")
+
+
+def yuv420_to_bgr24_host(y, u, v):
+    """Host-side swscale yuv420p->bgr24 (the oracle ops/yuv.py emulates)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vd_yuv420_to_bgr24"):
+        raise RuntimeError("native decoder (with YUV entry points) "
+                           "unavailable")
+    y = np.ascontiguousarray(y, np.uint8)
+    u = np.ascontiguousarray(u, np.uint8)
+    v = np.ascontiguousarray(v, np.uint8)
+    h, w = y.shape
+    out = np.empty((h, w, 3), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if not lib.vd_yuv420_to_bgr24(
+            y.ctypes.data_as(u8p), u.ctypes.data_as(u8p),
+            v.ctypes.data_as(u8p), w, h, out.ctypes.data_as(u8p)):
+        raise RuntimeError("vd_yuv420_to_bgr24 failed")
+    return out
+
+
+class NativeYUVSource:
+    """Sequential decode to packed planar YUV420 at the TARGET size.
+
+    The transfer-halving counterpart of ``NativeVideoSource``: one
+    swscale pass per frame scales the decoded frame to the reference
+    resize dims IN YUV SPACE (1.5 B/px both sides — cheaper than
+    BGR-convert + separate resize) and yields the packed planes as a
+    flat uint8 vector (``ops.yuv.yuv420_nbytes`` long).  The YUV->BGR
+    conversion then runs on device (ops/yuv.py, bit-exact swscale
+    emulation), so only 1.5 B/px ever crosses host->device.
+
+    Note the composition differs from the byte-parity path by the
+    resize SPACE (YUV vs BGR, frameID/data.py:220-222): the fast-path
+    rungs gate it on the accuracy corpus instead (tests/test_yuv.py,
+    test_eval_corpus.py).
+    """
+
+    def __init__(self, file_path: str, resize: int | None = 256):
+        lib = _load()
+        if lib is None or not hasattr(lib, "vd_read_frame_yuv"):
+            raise RuntimeError("native decoder (with YUV entry points) "
+                               "unavailable")
+        self._lib = lib
+        self._handle = lib.vd_open(file_path.encode())
+        if not self._handle:
+            raise IOError(f"could not open {file_path}")
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        n = ctypes.c_int64()
+        lib.vd_info(self._handle, ctypes.byref(w), ctypes.byref(h),
+                    ctypes.byref(fps), ctypes.byref(n))
+        self.video_info = {"fps": int(fps.value), "length": int(n.value),
+                           "width": int(w.value), "height": int(h.value)}
+        self.frames_read = 0
+        self.frames_failed = 0
+        if resize is not None:
+            self.out_width, self.out_height = reference_resize_dims(
+                self.video_info["width"], self.video_info["height"], resize)
+        else:
+            self.out_width = self.video_info["width"]
+            self.out_height = self.video_info["height"]
+        from cut_detection_tpu.ops.yuv import yuv420_nbytes
+
+        self.frame_nbytes = yuv420_nbytes(self.out_height, self.out_width)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        buf = np.empty((self.frame_nbytes,), dtype=np.uint8)
+        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        ret = self._lib.vd_read_frame_yuv(self._handle, ptr,
+                                          self.out_width, self.out_height)
+        if not ret:
+            if self.frames_read < self.video_info["length"]:
+                self.frames_failed = (self.video_info["length"]
+                                      - self.frames_read)
+                logger.warning(
+                    "Native YUV decode ended early: %d/%d frames "
+                    "(%d missing).", self.frames_read,
+                    self.video_info["length"], self.frames_failed)
+            raise StopIteration
+        self.frames_read += 1
+        return buf
+
+    def __len__(self) -> int:
+        return self.video_info["length"]
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.vd_close(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover - gc path
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeVideoSource:

@@ -58,7 +58,13 @@ def _producer_main(path: str, kw: dict, shm_names: list, slot_shape: tuple,
     try:
         from cut_detection_tpu.data import video as v
 
-        if kw["decode_workers"] > 1:
+        if kw.get("transfer") == "yuv420":
+            from cut_detection_tpu.data.native_video import NativeYUVSource
+
+            # Sequential native source (in-decoder ffmpeg threading);
+            # chunk-parallel YUV decode is not wired yet.
+            src = NativeYUVSource(path, resize=kw["resize"])
+        elif kw["decode_workers"] > 1:
             src = v.ParallelVideoReader(
                 path, resize=kw["resize"], num_threads=kw["decode_workers"],
                 chunk_frames=kw["decode_chunk_frames"],
@@ -116,7 +122,8 @@ class ShmDecodeLoader:
     def __init__(self, input_path: str, *, batch_size: int = 128,
                  resize: int | None = 256, decode_workers: int = 1,
                  decode_chunk_frames: int = 256, decoder: str = "cv2",
-                 slots: int | None = None, copy_out: bool = False):
+                 slots: int | None = None, copy_out: bool = False,
+                 transfer: str = "bgr"):
         from cut_detection_tpu.data.video import open_video
 
         if decoder == "auto":
@@ -138,13 +145,31 @@ class ShmDecodeLoader:
                                          resize)
         else:
             w, h = info["width"], info["height"]
+        self.frame_hw = (h, w)
         if slots is None:
             try:
                 slots = int(os.environ.get("CUTDET_DECODE_SLOTS") or 6)
             except ValueError:
                 slots = 6
         slots = max(2, slots)
-        self._slot_shape = (batch_size, h, w, 3)
+        if transfer == "yuv420":
+            from cut_detection_tpu.data import native_video
+            from cut_detection_tpu.ops.yuv import yuv420_nbytes
+
+            if not native_video.yuv_available():
+                raise RuntimeError(
+                    "transfer='yuv420' needs the native decoder with YUV "
+                    "entry points (make -C native)")
+            if h % 2 or w % 2:
+                raise ValueError(
+                    f"transfer='yuv420' needs even target dims, got {h}x{w} "
+                    "(odd sizes take swscale's interpolating path — use "
+                    "the BGR transfer)")
+            self._slot_shape = (batch_size, yuv420_nbytes(h, w))
+        elif transfer == "bgr":
+            self._slot_shape = (batch_size, h, w, 3)
+        else:
+            raise ValueError(f"unknown transfer mode {transfer!r}")
         self._copy_out = copy_out
         self._closed = False
         self._consumed = False
@@ -159,7 +184,8 @@ class ShmDecodeLoader:
         for i in range(slots):
             self._free.put(i)
         kw = {"resize": resize, "decode_workers": decode_workers,
-              "decode_chunk_frames": decode_chunk_frames, "decoder": decoder}
+              "decode_chunk_frames": decode_chunk_frames, "decoder": decoder,
+              "transfer": transfer}
         # Tunnel-proof child env: spawn inherits os.environ, so swap in a
         # PYTHONPATH without the axon sitecustomize (keeping the repo
         # importable) and pin the child's jax to CPU for the spawn window.

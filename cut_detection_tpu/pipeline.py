@@ -68,7 +68,8 @@ _STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 def make_classify_step(net: GluedNet, *,
                        device_resize: tuple[int, int] | None = None,
                        pallas_preprocess: bool = False,
-                       mesh=None):
+                       mesh=None,
+                       yuv_dims: tuple[int, int] | None = None):
     """Build the jitted device step: uint8 NHWC BGR -> (conf, pred).
 
     ``device_resize=(out_h, out_w)`` moves the bilinear resize on device
@@ -77,11 +78,19 @@ def make_classify_step(net: GluedNet, *,
     resize+flip+normalize kernel instead (float bilinear — fast path, not
     bit-exact with cv2).  With ``mesh``, frame batches shard over the
     ``data`` axis and params replicate (multi-chip data parallelism).
+    ``yuv_dims=(h, w)``: inputs are flat packed planar-YUV420 vectors
+    (1.5 B/px transfer mode) converted to BGR on device first
+    (ops/yuv.py, bit-exact swscale emulation); mutually exclusive with
+    the resize options (YUV frames arrive at model resolution).
 
     Memoized per (net, options): repeated calls return the same jitted
     function, so its compile cache carries across requests/videos.
     """
-    cache_key = (device_resize, pallas_preprocess, mesh)
+    if yuv_dims is not None and (device_resize is not None
+                                 or pallas_preprocess):
+        raise ValueError("yuv_dims is mutually exclusive with "
+                         "device_resize/pallas_preprocess")
+    cache_key = (device_resize, pallas_preprocess, mesh, yuv_dims)
     per_net = _STEP_CACHE.get(net)
     if per_net is not None and cache_key in per_net:
         return per_net[cache_key]
@@ -115,6 +124,10 @@ def make_classify_step(net: GluedNet, *,
     @functools.partial(jax.jit, **jit_kwargs)
     def _jitted_step(bundle, frames_u8, rings):
         x = frames_u8
+        if yuv_dims is not None:
+            from cut_detection_tpu.ops.yuv import yuv420_to_bgr
+
+            x = yuv420_to_bgr(x, yuv_dims[0], yuv_dims[1])
         if device_resize is not None and pallas_preprocess:
             from cut_detection_tpu.ops.pallas import fused_resize_normalize
 
@@ -166,8 +179,12 @@ def make_classify_step(net: GluedNet, *,
                     "creating net's own bundle (ring constants are "
                     "precomputed from it); build a step for the new "
                     "net via make_classify_step instead")
-            hw = (device_resize if device_resize is not None
-                  else tuple(frames_u8.shape[1:3]))
+            if device_resize is not None:
+                hw = device_resize
+            elif yuv_dims is not None:  # flat planes: shape has no h/w
+                hw = yuv_dims
+            else:
+                hw = tuple(frames_u8.shape[1:3])
             rings = ring_cache.get(hw)
             if rings is None:
                 rings = precompute_rings(src_bundle, conv_cfg, hw[0], hw[1],
@@ -294,6 +311,7 @@ def classify_video(
     prefetch_batches: int = 2,
     preloaded=None,
     decode_process: bool | str = "auto",
+    transfer: str = "bgr",
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
     """Run decode + classification; return per-frame (conf, pred, stats).
 
@@ -308,6 +326,16 @@ def classify_video(
     with the GIL-holding transfers, a separate process can.  Decoded
     bytes are identical either way (same sources + batching), so CSV
     parity is unaffected.
+
+    ``transfer="yuv420"`` halves the host->device bytes: the native
+    decoder scales to the target size IN YUV SPACE (one swscale pass,
+    1.5 B/px) and the YUV->BGR conversion runs on device (ops/yuv.py,
+    bit-exact swscale emulation).  A fast-path mode — the YUV-space
+    resize differs from the reference's BGR-space cv2 resize, so it is
+    accuracy-gated like the bf16 rungs rather than byte-parity-
+    guaranteed.  Falls back to "bgr" (logged) when the target height is
+    odd (swscale's interpolating path, not emulated); raises when the
+    native decoder isn't built.
     """
     if cache_path and os.path.isfile(cache_path):
         # A cache is only valid for the run shape that wrote it: a
@@ -346,6 +374,48 @@ def classify_video(
         logger.info("Loaded default classifier.")
 
     on_device_preprocess = device_resize or pallas_preprocess
+    yuv_dims = None
+    if transfer not in ("bgr", "yuv420"):
+        raise ValueError(f"unknown transfer mode {transfer!r}")
+    if transfer == "yuv420":
+        if on_device_preprocess:
+            raise ValueError(
+                "transfer='yuv420' can't combine with on-device resize "
+                "(YUV frames arrive at model resolution already)")
+        if preloaded is not None:
+            preloaded[1].close()
+            raise ValueError(
+                "transfer='yuv420' can't consume a BGR decode-ahead "
+                "handle; start the request without preloaded decode")
+        from cut_detection_tpu.data import native_video as _nv
+
+        if not _nv.yuv_available():
+            raise RuntimeError(
+                "transfer='yuv420' needs the native decoder with YUV "
+                "entry points (make -C native)")
+        from cut_detection_tpu.data.video import open_video
+        from cut_detection_tpu.ops.resize import reference_resize_dims
+
+        cap, _info = open_video(input_path)
+        try:
+            cap.release()
+        except Exception:
+            pass
+        tw, th = reference_resize_dims(_info["width"], _info["height"],
+                                       resize)
+        if th % 2 or tw % 2:
+            logger.warning(
+                "transfer='yuv420' needs even target dims; %dx%d is odd — "
+                "falling back to the BGR transfer", th, tw)
+            transfer = "bgr"
+        else:
+            yuv_dims = (th, tw)
+            if decode_workers > 1:
+                logger.info(
+                    "transfer='yuv420' uses the sequential native decoder "
+                    "(in-decoder ffmpeg threading); --decode-workers "
+                    "chunk parallelism is a BGR-path feature for now")
+
     if preloaded is not None:
         source, preloaded_batches = preloaded[0], preloaded[1]
         # Every rejection below closes the handle first: the producer
@@ -389,7 +459,12 @@ def classify_video(
             decode_chunk_frames=decode_chunk_frames,
             decoder=decoder,
             copy_out=jax.default_backend() == "cpu",
+            transfer=transfer,
         )
+    elif transfer == "yuv420":
+        from cut_detection_tpu.data.native_video import NativeYUVSource
+
+        source = NativeYUVSource(input_path, resize=resize)
     else:
         source = _make_source(
             input_path,
@@ -417,7 +492,8 @@ def classify_video(
             f"batch_size={batch_size} must divide over the data axis "
             f"({mesh.shape['data']} shards)")
     step = make_classify_step(net, device_resize=dr,
-                              pallas_preprocess=pallas_preprocess, mesh=mesh)
+                              pallas_preprocess=pallas_preprocess, mesh=mesh,
+                              yuv_dims=yuv_dims)
 
     meter = ThroughputMeter(warmup_items=batch_size)
     meter.start()
@@ -558,6 +634,7 @@ def segment_video_file(
     device_glue: bool = False,
     preloaded=None,
     decode_process: bool | str = "auto",
+    transfer: str = "bgr",
 ) -> tuple[str, Segmentation, PipelineStats]:
     """Full pipeline to CSV; returns (csv_path, segmentation, stats).
 
@@ -576,6 +653,7 @@ def segment_video_file(
         device_resize=device_resize, pallas_preprocess=pallas_preprocess,
         cache_path=cache_path, precision=precision, mesh=mesh,
         decoder=decoder, preloaded=preloaded, decode_process=decode_process,
+        transfer=transfer,
     )
 
     seg = _smooth(conf, pred, base_threshold, blank_threshold,
@@ -621,9 +699,13 @@ def segment_many(
         net, _ = load_default_net(precision=precision)
     # On-device preprocess needs raw frames, which decode-ahead's
     # host-resized pipeline can't provide (classify_video rejects the
-    # combination), so pipelining only applies to the host-resize path.
+    # combination), so pipelining only applies to the host-resize path;
+    # the yuv420 transfer likewise decodes planar YUV, not the BGR
+    # batches a PreloadedDecode handle carries (its subprocess decoder
+    # already overlaps across videos on its own).
     can_pre = pipeline_decode and not (
-        kwargs.get("device_resize") or kwargs.get("pallas_preprocess"))
+        kwargs.get("device_resize") or kwargs.get("pallas_preprocess")
+        or kwargs.get("transfer") == "yuv420")
     pres: dict = {}
 
     def start_pre(i: int) -> None:

@@ -244,6 +244,108 @@ int vd_read_stashed(void* h, uint8_t* out_bgr) {
     return convert_held_frame(d, out_bgr);
 }
 
+// ---- planar-YUV420 output mode (half the bytes of BGR24) -------------
+//
+// The TPU pipeline's host->device transfer carries 3 B/px as BGR24; the
+// codec's native 4:2:0 representation is 1.5 B/px.  These entry points
+// scale the decoded frame to the TARGET size in YUV space (one sws pass,
+// cheaper than BGR convert + separate resize) and hand back packed
+// planar YUV420 (Y plane, then U, then V, chroma ceil(w/2) x ceil(h/2)).
+// The YUV->BGR conversion then runs ON DEVICE (ops/yuv.py), emulating
+// swscale's same-size converter exactly — vd_yuv420_to_bgr24 below is
+// the oracle it is derived from and tested against.
+
+static int convert_held_frame_yuv(Decoder* d, uint8_t* out_yuv, int out_w,
+                                  int out_h) {
+    d->sws = sws_getCachedContext(
+        d->sws, d->frame->width, d->frame->height,
+        static_cast<AVPixelFormat>(d->frame->format), out_w, out_h,
+        AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!d->sws) return 0;
+    const int cw = (out_w + 1) / 2;
+    const int ch = (out_h + 1) / 2;
+    // swscale's SIMD paths write past unaligned row ends — scale into an
+    // av_image_alloc'd (aligned, padded) buffer, then pack the tight
+    // planes out (a ~tens-of-KB memcpy, negligible next to the scale).
+    uint8_t* data[4];
+    int linesize[4];
+    if (av_image_alloc(data, linesize, out_w, out_h, AV_PIX_FMT_YUV420P,
+                       64) < 0) {
+        return 0;
+    }
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0,
+              d->frame->height, data, linesize);
+    uint8_t* dst = out_yuv;
+    for (int r = 0; r < out_h; r++, dst += out_w)
+        std::memcpy(dst, data[0] + r * linesize[0], out_w);
+    for (int p = 1; p <= 2; p++)
+        for (int r = 0; r < ch; r++, dst += cw)
+            std::memcpy(dst, data[p] + r * linesize[p], cw);
+    av_freep(&data[0]);
+    av_frame_unref(d->frame);
+    d->next_frame++;
+    return 1;
+}
+
+// Decode the next frame scaled to (out_w, out_h) planar YUV420 into
+// out_yuv (size out_w*out_h + 2*ceil(out_w/2)*ceil(out_h/2) bytes).
+int vd_read_frame_yuv(void* h, uint8_t* out_yuv, int out_w, int out_h) {
+    auto* d = static_cast<Decoder*>(h);
+    if (!d) return 0;
+    if (!decode_next(d)) return 0;
+    return convert_held_frame_yuv(d, out_yuv, out_w, out_h);
+}
+
+// After vd_seek_frame returned 2, fetch the stashed frame in YUV mode.
+int vd_read_stashed_yuv(void* h, uint8_t* out_yuv, int out_w, int out_h) {
+    auto* d = static_cast<Decoder*>(h);
+    if (!d) return 0;
+    return convert_held_frame_yuv(d, out_yuv, out_w, out_h);
+}
+
+// Same-size planar yuv420p -> BGR24 through swscale itself: the oracle
+// for the on-device conversion (ops/yuv.py derives its integer tables
+// from this function and tests pin exact equality).  Standalone context
+// per call (probe/test path, not the decode hot loop).
+int vd_yuv420_to_bgr24(const uint8_t* y, const uint8_t* u, const uint8_t* v,
+                       int w, int h, uint8_t* out_bgr) {
+    SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_YUV420P, w, h,
+                                     AV_PIX_FMT_BGR24, SWS_BILINEAR,
+                                     nullptr, nullptr, nullptr);
+    if (!sws) return 0;
+    const int cw = (w + 1) / 2;
+    const int ch = (h + 1) / 2;
+    // Copy through aligned, padded buffers on BOTH sides: swscale's SIMD
+    // reads/writes past unaligned row ends (observed heap corruption on
+    // tiny probe widths).
+    uint8_t* src[4];
+    int src_ls[4];
+    uint8_t* dst[4];
+    int dst_ls[4];
+    if (av_image_alloc(src, src_ls, w, h, AV_PIX_FMT_YUV420P, 64) < 0) {
+        sws_freeContext(sws);
+        return 0;
+    }
+    if (av_image_alloc(dst, dst_ls, w, h, AV_PIX_FMT_BGR24, 64) < 0) {
+        av_freep(&src[0]);
+        sws_freeContext(sws);
+        return 0;
+    }
+    for (int r = 0; r < h; r++)
+        std::memcpy(src[0] + r * src_ls[0], y + r * w, w);
+    for (int r = 0; r < ch; r++) {
+        std::memcpy(src[1] + r * src_ls[1], u + r * cw, cw);
+        std::memcpy(src[2] + r * src_ls[2], v + r * cw, cw);
+    }
+    sws_scale(sws, src, src_ls, 0, h, dst, dst_ls);
+    for (int r = 0; r < h; r++)
+        std::memcpy(out_bgr + r * 3 * w, dst[0] + r * dst_ls[0], 3 * w);
+    av_freep(&src[0]);
+    av_freep(&dst[0]);
+    sws_freeContext(sws);
+    return 1;
+}
+
 void vd_close(void* h) {
     delete static_cast<Decoder*>(h);
 }

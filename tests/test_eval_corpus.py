@@ -163,6 +163,23 @@ def test_fast_rungs_exact_on_naturalistic_clip(precision, tmp_path):
     assert res["frame_accuracy"] == 1.0, res
 
 
+@pytest.mark.parametrize("precision", ["float32", "uint8_chain"])
+def test_yuv420_transfer_holds_accuracy(precision, tmp_path):
+    """The 1.5 B/px yuv420 transfer mode (YUV-space resize + on-device
+    bit-exact swscale conversion) is gated like the bf16 rungs: it must
+    hold the corpus accuracy bounds at strict float32 AND stacked with
+    the fastest quantized rung (the production fast combo)."""
+    from cut_detection_tpu.data import native_video
+
+    if not native_video.yuv_available():
+        pytest.skip("native decoder with YUV entry points not built")
+    for name, n in CORPUS:
+        out = str(tmp_path / f"{name}_yuv_{precision}.csv")
+        segment_video_file(_clip(name), out, print_every=0,
+                           precision=precision, transfer="yuv420")
+        _gate(out, name, n)
+
+
 def test_quantized_int8_holds_accuracy(tmp_path):
     """The experimental int8 op is gated on the same corpus (slightly
     looser frame bound: its logits differ up to ~0.4)."""
