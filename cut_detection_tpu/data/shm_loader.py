@@ -35,6 +35,7 @@ import logging
 import multiprocessing as mp
 import os
 import queue as queue_mod
+import time
 from multiprocessing import shared_memory
 
 import numpy as np
@@ -173,6 +174,11 @@ class ShmDecodeLoader:
         self._copy_out = copy_out
         self._closed = False
         self._consumed = False
+        # Startup latency instrumentation: wall time from construction to
+        # the first decoded batch being available (spawn + child imports +
+        # first batch decode).  Populated lazily by _drain.
+        self._t_init = time.perf_counter()
+        self.startup_s: float | None = None
         nbytes = int(np.prod(self._slot_shape))
         self._shms = [shared_memory.SharedMemory(create=True, size=nbytes)
                       for _ in range(slots)]
@@ -229,6 +235,8 @@ class ShmDecodeLoader:
                         f"(alive={self._proc.is_alive()})") from None
                 kind = msg[0]
                 if kind == "batch":
+                    if self.startup_s is None:
+                        self.startup_s = time.perf_counter() - self._t_init
                     _, slot, valid = msg
                     if self._copy_out:
                         out = self._views[slot].copy()

@@ -532,13 +532,24 @@ def classify_video(
                 batches.close()
             break
 
-    # Single blocking collect at the end.
-    conf_np = np.concatenate(
-        [np.asarray(jax.device_get(c))[:v] for c, v in zip(confs, valids)]
-    ) if confs else np.zeros((0,), np.float32)
-    pred_np = np.concatenate(
-        [np.asarray(jax.device_get(p))[:v] for p, v in zip(preds, valids)]
-    ) if preds else np.zeros((0,), np.int32)
+    # Single blocking collect at the end — as ONE device concatenation +
+    # one fetch per vector, not a device_get per batch: through the
+    # relay each get is a ~tens-of-ms round trip, so a 3h game's ~2.5k
+    # batches would pay minutes in fetch latency alone (measured round 4:
+    # per-batch gets were most of the pipeline's gap over its serial
+    # stage sum).  Padding is sliced out host-side via the valid mask.
+    if confs:
+        conf_all = np.asarray(jax.device_get(jnp.concatenate(confs)))
+        pred_all = np.asarray(jax.device_get(jnp.concatenate(preds)))
+        mask = np.zeros((len(valids), batch_size), bool)
+        for i, v in enumerate(valids):
+            mask[i, :v] = True
+        mask = mask.ravel()
+        conf_np = conf_all[mask]
+        pred_np = pred_all[mask].astype(np.int32)
+    else:
+        conf_np = np.zeros((0,), np.float32)
+        pred_np = np.zeros((0,), np.int32)
 
     stats.decode_failures = getattr(source, "frames_failed", 0)
     stats.frames_per_sec = meter.rate
