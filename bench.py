@@ -838,6 +838,12 @@ def bench_e2e(precision: str, frames: int, decode_workers: int,
                 csv_equal = f1.read() == f2.read()
             other_mode = {"transfer": other, "csv_equal_to_headline":
                           csv_equal, **cmp_out}
+            # Same within-repeat overlap efficiency as the headline
+            # repeats, so the modes compare on one scale.
+            other_mode["efficiency"] = _eff(
+                cmp_out["decode_s"], cmp_out["transfer_s"],
+                cmp_out["e2e_s"],
+                (cmp_out["smooth_ms"] + cmp_out["csv_ms"]) / 1e3)
         except Exception as e:
             other_mode = {"transfer": other,
                           "error": f"{type(e).__name__}: {e}"[:300]}

@@ -31,27 +31,34 @@ Import surface mirrors the reference's ``frameID`` package:
 
 from cut_detection_tpu.version import __version__
 
-from cut_detection_tpu.models.assembly import (
-    load_and_glue_nets,
-    load_default_net,
-    load_embedding_net,
-    load_triplet_or_default,
-)
-from cut_detection_tpu.pipeline import (
-    classify_video,
-    segment_many,
-    segment_video_file,
-)
-from cut_detection_tpu.segmentation.rle import Segmentation
+# Lazy re-exports (PEP 562): the eager imports here used to pull the
+# whole model/pipeline stack — and therefore jax (~1.5 s) — into EVERY
+# process that touches any submodule, including the decode SUBPROCESS
+# (data/shm_loader.py) that only needs cv2+numpy.  Submodule imports run
+# this file first, so it must stay dependency-free; attribute access
+# (``cut_detection_tpu.classify_video``) resolves on demand.
+_LAZY = {
+    "load_and_glue_nets": "cut_detection_tpu.models.assembly",
+    "load_default_net": "cut_detection_tpu.models.assembly",
+    "load_embedding_net": "cut_detection_tpu.models.assembly",
+    "load_triplet_or_default": "cut_detection_tpu.models.assembly",
+    "classify_video": "cut_detection_tpu.pipeline",
+    "segment_many": "cut_detection_tpu.pipeline",
+    "segment_video_file": "cut_detection_tpu.pipeline",
+    "Segmentation": "cut_detection_tpu.segmentation.rle",
+}
 
-__all__ = [
-    "__version__",
-    "load_and_glue_nets",
-    "load_default_net",
-    "load_embedding_net",
-    "load_triplet_or_default",
-    "classify_video",
-    "segment_many",
-    "segment_video_file",
-    "Segmentation",
-]
+__all__ = ["__version__", *_LAZY]
+
+
+def __getattr__(name: str):
+    mod = _LAZY.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))

@@ -16,7 +16,7 @@ from typing import Iterator
 
 import numpy as np
 
-from cut_detection_tpu.ops.resize import reference_resize_dims
+from cut_detection_tpu.geometry import reference_resize_dims
 
 logger = logging.getLogger(__name__)
 
@@ -142,15 +142,47 @@ class NativeYUVSource:
                            "width": int(w.value), "height": int(h.value)}
         self.frames_read = 0
         self.frames_failed = 0
+        self._stashed = False
         if resize is not None:
             self.out_width, self.out_height = reference_resize_dims(
                 self.video_info["width"], self.video_info["height"], resize)
         else:
             self.out_width = self.video_info["width"]
             self.out_height = self.video_info["height"]
-        from cut_detection_tpu.ops.yuv import yuv420_nbytes
+        from cut_detection_tpu.geometry import yuv420_nbytes
 
         self.frame_nbytes = yuv420_nbytes(self.out_height, self.out_width)
+
+    def seek(self, frame_index: int) -> None:
+        """Position so the next vector returned is frame ``frame_index``.
+
+        Same anchored retry contract as ``NativeVideoSource.seek`` (the
+        stash holds the decoded target frame; the next read scales it to
+        the YUV target size instead of BGR).  Enables chunk-parallel YUV
+        decode (``ParallelVideoReader(backend="yuv")``).
+        """
+        seek_from = getattr(self._lib, "vd_seek_frame_from", None)
+        if seek_from is None:  # stale pre-anchor .so: historic behavior
+            ret = self._lib.vd_seek_frame(self._handle, frame_index)
+            if ret == 0:
+                raise IOError(f"seek to frame {frame_index} failed")
+            self._stashed = ret == 2
+            self.frames_read = frame_index
+            return
+        anchors = [frame_index, max(0, frame_index - 64),
+                   max(0, frame_index - 512), 0]
+        ret = 0
+        for anchor in dict.fromkeys(anchors):
+            ret = seek_from(self._handle, frame_index, anchor)
+            if ret == 2:
+                self._stashed = True
+                self.frames_read = frame_index
+                return
+            if ret == 0:
+                break
+        raise IOError(
+            f"seek to frame {frame_index} "
+            f"{'overshot from every anchor' if ret == 3 else 'failed'}")
 
     def __iter__(self) -> Iterator[np.ndarray]:
         return self
@@ -158,8 +190,15 @@ class NativeYUVSource:
     def __next__(self) -> np.ndarray:
         buf = np.empty((self.frame_nbytes,), dtype=np.uint8)
         ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-        ret = self._lib.vd_read_frame_yuv(self._handle, ptr,
-                                          self.out_width, self.out_height)
+        if self._stashed:
+            ret = self._lib.vd_read_stashed_yuv(self._handle, ptr,
+                                                self.out_width,
+                                                self.out_height)
+            self._stashed = False
+        else:
+            ret = self._lib.vd_read_frame_yuv(self._handle, ptr,
+                                              self.out_width,
+                                              self.out_height)
         if not ret:
             if self.frames_read < self.video_info["length"]:
                 self.frames_failed = (self.video_info["length"]

@@ -60,11 +60,17 @@ def _producer_main(path: str, kw: dict, shm_names: list, slot_shape: tuple,
         from cut_detection_tpu.data import video as v
 
         if kw.get("transfer") == "yuv420":
-            from cut_detection_tpu.data.native_video import NativeYUVSource
+            if kw["decode_workers"] > 1:
+                src = v.ParallelVideoReader(
+                    path, resize=kw["resize"],
+                    num_threads=kw["decode_workers"],
+                    chunk_frames=kw["decode_chunk_frames"], backend="yuv")
+            else:
+                from cut_detection_tpu.data.native_video import (
+                    NativeYUVSource,
+                )
 
-            # Sequential native source (in-decoder ffmpeg threading);
-            # chunk-parallel YUV decode is not wired yet.
-            src = NativeYUVSource(path, resize=kw["resize"])
+                src = NativeYUVSource(path, resize=kw["resize"])
         elif kw["decode_workers"] > 1:
             src = v.ParallelVideoReader(
                 path, resize=kw["resize"], num_threads=kw["decode_workers"],
@@ -140,7 +146,7 @@ class ShmDecodeLoader:
         self.length = info["length"]
         self.frames_failed = 0
         if resize is not None:
-            from cut_detection_tpu.ops.resize import reference_resize_dims
+            from cut_detection_tpu.geometry import reference_resize_dims
 
             w, h = reference_resize_dims(info["width"], info["height"],
                                          resize)
@@ -155,7 +161,7 @@ class ShmDecodeLoader:
         slots = max(2, slots)
         if transfer == "yuv420":
             from cut_detection_tpu.data import native_video
-            from cut_detection_tpu.ops.yuv import yuv420_nbytes
+            from cut_detection_tpu.geometry import yuv420_nbytes
 
             if not native_video.yuv_available():
                 raise RuntimeError(

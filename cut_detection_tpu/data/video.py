@@ -39,7 +39,7 @@ try:
 except ImportError:  # pragma: no cover - cv2 is present in the target image
     cv2 = None
 
-from cut_detection_tpu.ops.resize import reference_resize_dims
+from cut_detection_tpu.geometry import reference_resize_dims
 
 logger = logging.getLogger(__name__)
 
@@ -192,6 +192,33 @@ class _NativeChunkDecoder:
         self.src.close()
 
 
+class _YUVChunkDecoder:
+    """Seek/read adapter over the native decoder's planar-YUV420 path.
+
+    ``read()`` yields flat packed-YUV420 uint8 vectors already scaled to
+    the target size (one swscale pass in the decoder), so the chunk
+    workers apply no host resize.  The boundary byte-compare of the
+    chunked reader works on the vectors exactly as on BGR frames.
+    """
+
+    def __init__(self, file_path: str, resize: int | None):
+        from cut_detection_tpu.data.native_video import NativeYUVSource
+
+        self.src = NativeYUVSource(file_path, resize=resize)
+
+    def seek(self, frame_index: int) -> None:
+        self.src.seek(frame_index)
+
+    def read(self):
+        try:
+            return next(self.src)
+        except StopIteration:
+            return None
+
+    def close(self) -> None:
+        self.src.close()
+
+
 class ParallelVideoReader:
     """Chunk-parallel in-order video decode.
 
@@ -233,6 +260,13 @@ class ParallelVideoReader:
             probe = NativeVideoSource(file_path)
             self.video_info = probe.video_info
             probe.close()
+        elif backend == "yuv":
+            from cut_detection_tpu.data.native_video import NativeYUVSource
+
+            probe = NativeYUVSource(file_path, resize=resize)
+            self.video_info = probe.video_info
+            self.frame_nbytes = probe.frame_nbytes
+            probe.close()
         else:
             _require_cv2()
             cap, self.video_info = open_video(file_path)
@@ -253,11 +287,13 @@ class ParallelVideoReader:
         self._chunk_lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        if resize is not None:
+        if resize is not None and backend != "yuv":
             self.new_width, self.new_height = reference_resize_dims(
                 self.video_info["width"], self.video_info["height"], resize
             )
         else:
+            # yuv backend: the decoder scales to the target size itself
+            # (one swscale pass, in YUV space) — no host resize.
             self.new_width = self.new_height = None
 
     def _claim_chunk(self) -> int | None:
@@ -331,6 +367,8 @@ class ParallelVideoReader:
     def _new_decoder(self):
         if self.backend == "native":
             return _NativeChunkDecoder(self.file_path)
+        if self.backend == "yuv":
+            return _YUVChunkDecoder(self.file_path, self.resize)
         return _Cv2ChunkDecoder(self.file_path)
 
     def _redecode_chunk(self, chunk: int, prev_last: np.ndarray):

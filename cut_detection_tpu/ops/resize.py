@@ -36,16 +36,10 @@ _COEF_BITS = 11          # OpenCV INTER_RESIZE_COEF_BITS
 _COEF_SCALE = 1 << _COEF_BITS
 
 
-def reference_resize_dims(width: int, height: int, resize: int) -> tuple[int, int]:
-    """(new_w, new_h) exactly as frameID/data.py:199-202 computes them.
-
-    Note the reference computes ``int(height * (resize / width))`` — a float
-    multiply then truncation — so we replicate that expression verbatim
-    rather than using integer arithmetic.
-    """
-    new_w = resize
-    new_h = int(height * (new_w / width))
-    return new_w, new_h
+# Pure-math resize rule lives in the jax-free geometry module (the
+# decode subprocess imports it without paying a jax import); re-exported
+# here for the device-resize callers that historically found it here.
+from cut_detection_tpu.geometry import reference_resize_dims  # noqa: F401
 
 
 def _src_coords(in_size: int, out_size: int) -> np.ndarray:

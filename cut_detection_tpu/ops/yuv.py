@@ -51,9 +51,10 @@ GV_COEF = -53279
 RV_COEF = 104597
 
 
-def yuv420_nbytes(h: int, w: int) -> int:
-    """Packed plane bytes for one (h, w) frame: Y + U + V (4:2:0)."""
-    return h * w + 2 * (((h + 1) // 2) * ((w + 1) // 2))
+# Pure-math layout helper lives in the jax-free geometry module (the
+# decode subprocess imports it without paying a jax import); re-exported
+# here because this module defines the layout's device consumer.
+from cut_detection_tpu.geometry import yuv420_nbytes  # noqa: F401
 
 
 def pack_yuv420(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:

@@ -410,11 +410,6 @@ def classify_video(
             transfer = "bgr"
         else:
             yuv_dims = (th, tw)
-            if decode_workers > 1:
-                logger.info(
-                    "transfer='yuv420' uses the sequential native decoder "
-                    "(in-decoder ffmpeg threading); --decode-workers "
-                    "chunk parallelism is a BGR-path feature for now")
 
     if preloaded is not None:
         source, preloaded_batches = preloaded[0], preloaded[1]
@@ -462,9 +457,16 @@ def classify_video(
             transfer=transfer,
         )
     elif transfer == "yuv420":
-        from cut_detection_tpu.data.native_video import NativeYUVSource
+        if decode_workers > 1:
+            # Chunk-parallel decode straight to target-size YUV vectors
+            # (each worker's decoder scales in one swscale pass).
+            source = ParallelVideoReader(
+                input_path, resize=resize, num_threads=decode_workers,
+                chunk_frames=decode_chunk_frames, backend="yuv")
+        else:
+            from cut_detection_tpu.data.native_video import NativeYUVSource
 
-        source = NativeYUVSource(input_path, resize=resize)
+            source = NativeYUVSource(input_path, resize=resize)
     else:
         source = _make_source(
             input_path,

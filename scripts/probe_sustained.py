@@ -69,7 +69,7 @@ def main() -> None:
     import jax
 
     from bench import _make_bench_clip
-    from cut_detection_tpu.data.video import ParallelVideoReader, batch_frames
+    from cut_detection_tpu.data.video import VideoFrameSource, batch_frames
     from cut_detection_tpu.models.assembly import load_default_net
     from cut_detection_tpu.pipeline import classify_video
 
@@ -80,7 +80,7 @@ def main() -> None:
 
     # Warm the jitted step.
     classify_video(clip, net, frame_limit=256, print_every=0,
-                   precision=PRECISION, decode_workers=4)
+                   precision=PRECISION)
 
     handler = _BatchTimes()
     plog = logging.getLogger("cut_detection_tpu.pipeline")
@@ -89,7 +89,7 @@ def main() -> None:
     t0 = time.perf_counter()
     wall0 = time.time()
     conf, pred, stats = classify_video(
-        clip, net, print_every=2, precision=PRECISION, decode_workers=4)
+        clip, net, print_every=2, precision=PRECISION)
     out["pipeline_s"] = round(time.perf_counter() - t0, 1)
     out["pipeline_fps"] = round(stats.frames / (time.perf_counter() - t0), 1)
     plog.removeHandler(handler)
@@ -104,7 +104,7 @@ def main() -> None:
             (wall0 + (time.perf_counter() - t0)) - handler.events[-1][0], 1)
 
     # Pure decode pass, windowed identically (no device touches).
-    src = ParallelVideoReader(clip, resize=256, num_threads=4)
+    src = VideoFrameSource(clip, resize=256)
     t0 = time.perf_counter()
     events = []
     n = 0

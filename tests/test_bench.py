@@ -136,6 +136,7 @@ def test_bench_e2e_transfer_compare(monkeypatch, tmp_path):
     assert "error" not in other, other
     assert other["transfer_fps"] > 0 and other["e2e_fps"] > 0
     assert isinstance(other["csv_equal_to_headline"], bool)
+    assert isinstance(other["efficiency"], float)
     # 1.5 B/px vs 3 B/px: the yuv stage uploads half the bytes.  (Rates
     # drift on a busy host, so assert the byte count, not the seconds.)
     from cut_detection_tpu.ops.yuv import yuv420_nbytes

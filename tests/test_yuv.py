@@ -113,6 +113,61 @@ def test_native_yuv_source_shapes(synthetic_video):
 
 
 @needs_native_yuv
+def test_yuv_seek_matches_sequential(synthetic_video):
+    """NativeYUVSource.seek positions exactly: the vector after a seek
+    byte-equals the sequentially-decoded one (chunk-decode prerequisite)."""
+    seq = native_video.NativeYUVSource(synthetic_video, resize=256)
+    want = {}
+    for i, f in enumerate(seq):
+        if i in (0, 67, 128, 239):
+            want[i] = f.copy()
+    seq.close()
+    src = native_video.NativeYUVSource(synthetic_video, resize=256)
+    for i in (67, 0, 239, 128):
+        src.seek(i)
+        np.testing.assert_array_equal(next(src), want[i], err_msg=f"frame {i}")
+    src.close()
+
+
+@needs_native_yuv
+@pytest.mark.parametrize("threads", [2, 4])
+def test_yuv_chunk_parallel_matches_sequential(synthetic_video, threads):
+    """ParallelVideoReader(backend='yuv') reproduces the sequential YUV
+    vector stream byte-for-byte (seek-verified chunked decode)."""
+    from cut_detection_tpu.data.video import ParallelVideoReader
+
+    seq = list(native_video.NativeYUVSource(synthetic_video, resize=256))
+    par = ParallelVideoReader(synthetic_video, resize=256,
+                              num_threads=threads, chunk_frames=64,
+                              backend="yuv")
+    got = list(par)
+    assert len(got) == len(seq) == 240
+    for i, (a, b) in enumerate(zip(got, seq)):
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+    assert par.frames_failed == 0
+
+
+@needs_native_yuv
+def test_pipeline_yuv_chunked_decode_same_csv(synthetic_video, tmp_path):
+    """segment_video_file with transfer='yuv420' produces the same CSV
+    with chunk-parallel decode as with the sequential YUV decoder, both
+    through the subprocess loader and in-process."""
+    from cut_detection_tpu.pipeline import segment_video_file
+
+    outs = {}
+    for name, kw in {
+        "seq": dict(decode_workers=1, decode_process=False),
+        "par": dict(decode_workers=3, decode_process=False),
+        "par_proc": dict(decode_workers=3, decode_process=True),
+    }.items():
+        p = str(tmp_path / f"{name}.csv")
+        segment_video_file(synthetic_video, p, transfer="yuv420",
+                           print_every=0, **kw)
+        outs[name] = open(p, "rb").read()
+    assert outs["seq"] == outs["par"] == outs["par_proc"]
+
+
+@needs_native_yuv
 def test_yuv_source_composition_close_to_reference_path(synthetic_video):
     """YUV-space resize differs from the reference's BGR-space cv2
     resize by small per-pixel amounts only (the classify gates live in
