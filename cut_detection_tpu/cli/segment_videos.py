@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "starting video i+1's host decode while video i "
                         "runs on the device.")
     p.add_argument("--device-resize", action="store_true")
+    p.add_argument("--transfer", choices=["bgr", "yuv420"], default="bgr",
+                   help="Host->device byte format: 'yuv420' uploads "
+                        "planar YUV at 1.5 B/px (half of BGR24) and "
+                        "converts on device (accuracy-gated fast path; "
+                        "needs the native decoder's YUV entry points).")
     p.add_argument("--precision",
                    choices=list(PRECISION_CHOICES),
                    default="float32")
@@ -103,6 +108,7 @@ def main(args=None) -> list[str]:
         print_every=ns.print_every,
         decode_workers=ns.decode_workers,
         device_resize=ns.device_resize,
+        transfer=ns.transfer,
         precision=ns.precision,
         mesh=mesh,
         pipeline_decode=not ns.no_decode_ahead,

@@ -211,6 +211,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Require 'Authorization: Bearer <token>' on every "
                         "endpoint except /healthz (default from "
                         "$CUTDET_AUTH_TOKEN).")
+    p.add_argument("--transfer", choices=["bgr", "yuv420"], default="bgr",
+                   help="Default host->device byte format for requests "
+                        "that don't specify one.  'yuv420' uploads "
+                        "planar YUV at 1.5 B/px (half of BGR24) and "
+                        "converts on device — a fast-path mode "
+                        "(YUV-space resize; accuracy-gated, not "
+                        "byte-parity) needing the native decoder's YUV "
+                        "entry points.  Requests override with "
+                        '{"transfer": "bgr"|"yuv420"}.')
     p.add_argument("--no-decode-ahead", action="store_true",
                    help="Disable overlapping a queued request's host "
                         "decode with the in-flight request's device "
@@ -253,6 +262,11 @@ class _State:
         self.spool_ttl_s = 24 * 3600.0
         self.auth_token = None
         self.decode_ahead = True
+        # Server-level default host->device byte format; per-request
+        # {"transfer": ...} overrides.  "yuv420" halves upload bytes
+        # (pipeline.classify_video) but is accuracy-gated, not
+        # byte-parity — the operator opts in.
+        self.transfer = "bgr"
         # Decode-ahead slot accounting: at most this many prefetch
         # pipelines alive at once, so host memory stays bounded at
         # ~slots x prefetch_batches x batch_size frames no matter how
@@ -330,7 +344,8 @@ class _State:
 
 
 def _warmup_net(net, batch_size: int = 128,
-                resize_hw: tuple = (144, 256), mesh=None) -> float:
+                resize_hw: tuple = (144, 256), mesh=None,
+                transfer: str = "bgr") -> float:
     """Compile + execute the serving-shape classify step; returns seconds.
 
     The hardware smoke test measured the first request paying ~105 s of
@@ -345,10 +360,18 @@ def _warmup_net(net, batch_size: int = 128,
     from cut_detection_tpu.pipeline import make_classify_step
 
     t0 = time.time()
-    step = make_classify_step(net, mesh=mesh)
-    conf, pred = step(net.bundle,
-                      np.zeros((batch_size,) + tuple(resize_hw) + (3,),
-                               np.uint8))
+    if transfer == "yuv420":
+        # Warm the yuv420 serving step: flat packed planar-YUV vectors
+        # at the default serving geometry (the step caches per yuv_dims).
+        from cut_detection_tpu.geometry import yuv420_nbytes
+
+        h, w = resize_hw
+        step = make_classify_step(net, mesh=mesh, yuv_dims=(h, w))
+        frames = np.zeros((batch_size, yuv420_nbytes(h, w)), np.uint8)
+    else:
+        step = make_classify_step(net, mesh=mesh)
+        frames = np.zeros((batch_size,) + tuple(resize_hw) + (3,), np.uint8)
+    conf, pred = step(net.bundle, frames)
     np.asarray(conf), np.asarray(pred)  # fetch: proves execution completed
     return time.time() - t0
 
@@ -482,8 +505,32 @@ def _make_handler(state: _State):
                 k: req[k] for k in (
                     "output_path", "base_threshold", "blank_threshold",
                     "batch_size", "frame_limit", "decode_workers",
+                    "transfer",
                 ) if k in req
             }
+            transfer = kwargs.setdefault("transfer", state.transfer)
+            if transfer not in ("bgr", "yuv420"):
+                if preloaded is not None:
+                    preloaded[1].close()
+                raise ValueError(
+                    f"unknown transfer {transfer!r} (choices: bgr, yuv420)")
+            if transfer == "yuv420":
+                from cut_detection_tpu.data import native_video as _nv
+
+                if not _nv.yuv_available():
+                    if preloaded is not None:
+                        preloaded[1].close()
+                    raise ValueError(
+                        "transfer='yuv420' unavailable on this server: "
+                        "the native decoder lacks YUV entry points "
+                        "(make -C native)")
+                if preloaded is not None:
+                    # Decode-ahead handles carry BGR batches; the yuv420
+                    # pipeline can't consume them (pipeline.classify_video
+                    # rejects the combination) — drop the handle and let
+                    # the request decode to YUV itself.
+                    preloaded[1].close()
+                    preloaded = None
             output_path = kwargs.pop("output_path", None)
             if not allow_output_path:
                 # Batch mode: one shared output_path would make every
@@ -507,10 +554,13 @@ def _make_handler(state: _State):
                 # at saturation depth.
                 bs = kwargs.get("batch_size", 128)
                 dw = kwargs.get("decode_workers", 1)
-                if preloaded is None:
+                # yuv420 requests decode to target-size YUV inside the
+                # pipeline; the BGR decode-ahead path doesn't apply.
+                want_pre = transfer != "yuv420"
+                if preloaded is None and want_pre:
                     preloaded = _try_prefetch(state, input_path, bs, dw)
                 while not state.lock.acquire(timeout=0.2):
-                    if preloaded is None:
+                    if preloaded is None and want_pre:
                         preloaded = _try_prefetch(state, input_path, bs, dw)
                 try:
                     t1 = time.time()
@@ -631,7 +681,8 @@ def _make_handler(state: _State):
             if req.get("warmup", state.warmup_default):
                 try:
                     logger.info("Reload warmup took %.1fs",
-                                _warmup_net(net, mesh=state.mesh))
+                                _warmup_net(net, mesh=state.mesh,
+                                            transfer=state.transfer))
                 except Exception:
                     logger.exception(
                         "reload warmup failed; swapping anyway (first "
@@ -706,6 +757,10 @@ def _make_handler(state: _State):
                 # Same slot accounting as _segment_one — a prefetch only
                 # starts when one of the bounded slots is free, so batch
                 # pipelining never stacks decode pipelines at saturation.
+                # yuv420 requests can't consume BGR decode-ahead batches,
+                # so don't start one (the request decodes to YUV itself).
+                if req.get("transfer", state.transfer) == "yuv420":
+                    return
                 if (0 <= i < len(paths) and isinstance(paths[i], str)):
                     handle = _try_prefetch(
                         state, paths[i],
@@ -749,7 +804,8 @@ def make_server(host: str, port: int, precision: str = "float32",
                 decode_ahead: bool = True,
                 warmup: bool = False,
                 heartbeat_interval: float = 0.0,
-                mesh=None):
+                mesh=None,
+                transfer: str = "bgr"):
     """Build (server, state) with the model preloaded.
 
     ``certfile``/``keyfile`` enable HTTPS; ``client_ca`` additionally
@@ -782,6 +838,18 @@ def make_server(host: str, port: int, precision: str = "float32",
     state.spool_ttl_s = spool_ttl_hours * 3600.0
     state.auth_token = auth_token
     state.decode_ahead = decode_ahead
+    if transfer not in ("bgr", "yuv420"):
+        raise ValueError(f"unknown transfer {transfer!r}")
+    if transfer == "yuv420":
+        # Fail at startup, not on the first request: a daemon whose
+        # default mode can never work should refuse to boot.
+        from cut_detection_tpu.data import native_video as _nv
+
+        if not _nv.yuv_available():
+            raise ValueError(
+                "--transfer yuv420 needs the native decoder with YUV "
+                "entry points (make -C native)")
+    state.transfer = transfer
     state.net, _ = load_triplet_or_default(model_dir, model_name,
                                            precision=precision)
     for nm, (mdir, mname) in (extra_models or {}).items():
@@ -809,7 +877,8 @@ def make_server(host: str, port: int, precision: str = "float32",
         for nm, net in [("default", state.net)] + sorted(state.nets.items()):
             logger.info("Warming %r: serving-shape compile...", nm)
             logger.info("Warmed %r in %.1fs", nm,
-                        _warmup_net(net, mesh=state.mesh))
+                        _warmup_net(net, mesh=state.mesh,
+                                    transfer=state.transfer))
     return server, state
 
 
@@ -878,7 +947,8 @@ def main(args=None) -> None:
                             decode_ahead=not ns.no_decode_ahead,
                             warmup=not ns.no_warmup,
                             heartbeat_interval=ns.heartbeat_interval,
-                            mesh=mesh)
+                            mesh=mesh,
+                            transfer=ns.transfer)
     logging.info("Serving on %s:%d", ns.host, ns.port)
     try:
         server.serve_forever()

@@ -152,6 +152,21 @@ def test_segment_videos_cli(synthetic_video, tmp_path, monkeypatch):
         with open(outs[0], "rb") as f0, open(outs_dp[0], "rb") as f1:
             assert f0.read() == f1.read()
 
+    from cut_detection_tpu.data import native_video as nv
+
+    if nv.yuv_available():
+        # The 1.5 B/px transfer mode runs through the batch CLI too
+        # (accuracy-gated fast path; determinism asserted, not BGR
+        # equality — see test_yuv.py for why).
+        d = str(tmp_path / "d.mp4")
+        e = str(tmp_path / "e.mp4")
+        shutil.copy(synthetic_video, d)
+        shutil.copy(synthetic_video, e)
+        outs_yuv = main([d, e, "--batch-size", "64", "--transfer", "yuv420"])
+        assert all(os.path.isfile(o) for o in outs_yuv)
+        with open(outs_yuv[0], "rb") as f0, open(outs_yuv[1], "rb") as f1:
+            assert f0.read() == f1.read()
+
 
 def test_labelling_storage(tmp_path):
     from cut_detection_tpu.cli.labelling import get_labels, write_label

@@ -943,3 +943,78 @@ def test_healthz_redacts_error_detail_when_authed(synthetic_video):
         assert m["device"]["last_error"] == "RuntimeError: internal /host/path"
     finally:
         srv.shutdown()
+
+
+def test_segment_request_transfer_yuv420(server, synthetic_video, tmp_path):
+    """Per-request {"transfer": "yuv420"} runs the 1.5 B/px upload path
+    (accuracy-gated fast mode — CSV-vs-BGR equality is deliberately not
+    asserted on synthetic fixtures, see test_yuv.py): the request must
+    succeed, be deterministic, and skip the BGR decode-ahead path."""
+    from cut_detection_tpu.data import native_video as nv
+
+    if not nv.yuv_available():
+        pytest.skip("native YUV decoder unavailable")
+    base, state = server
+    outs = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / f"yuv_{tag}.csv")
+        status, data = _post(base + "/segment", {
+            "input_path": synthetic_video, "output_path": out,
+            "batch_size": 64, "transfer": "yuv420",
+        })
+        assert status == 200
+        assert data["stats"]["frames"] == 240
+        assert all(lab in ("a22", "ez", "b") for _, lab in data["segments"])
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1]
+    # No BGR decode-ahead pipeline may be left claiming a slot.
+    assert state.active_prefetch == 0
+
+
+def test_segment_request_bad_transfer_is_400(server, synthetic_video):
+    base, _ = server
+    status, data = _post(base + "/segment", {
+        "input_path": synthetic_video, "transfer": "rgb565",
+    })
+    assert status == 400
+    assert "transfer" in data["error"]
+
+
+def test_serve_transfer_default_applies(synthetic_video, tmp_path):
+    """A server started with transfer='yuv420' uses it for requests that
+    don't specify one, and per-request 'bgr' still overrides."""
+    from cut_detection_tpu.cli.serve import make_server
+    from cut_detection_tpu.data import native_video as nv
+
+    if not nv.yuv_available():
+        pytest.skip("native YUV decoder unavailable")
+    srv, state = make_server("127.0.0.1", 0, transfer="yuv420")
+    assert state.transfer == "yuv420"
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        out = str(tmp_path / "default_yuv.csv")
+        status, data = _post(base + "/segment", {
+            "input_path": synthetic_video, "output_path": out,
+            "batch_size": 64,
+        })
+        assert status == 200
+        assert data["stats"]["frames"] == 240
+        out2 = str(tmp_path / "override_bgr.csv")
+        status, data = _post(base + "/segment", {
+            "input_path": synthetic_video, "output_path": out2,
+            "batch_size": 64, "transfer": "bgr",
+        })
+        assert status == 200
+    finally:
+        srv.shutdown()
+
+
+def test_serve_parser_transfer_flag():
+    from cut_detection_tpu.cli.serve import build_parser
+
+    ns = build_parser().parse_args(["--transfer", "yuv420"])
+    assert ns.transfer == "yuv420"
+    assert build_parser().parse_args([]).transfer == "bgr"
