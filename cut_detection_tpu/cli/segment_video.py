@@ -56,12 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run host decode in a subprocess feeding a shared-"
                         "memory batch ring so it overlaps the device "
                         "transfer (auto: on for accelerator backends).")
-    p.add_argument("--transfer", choices=["bgr", "yuv420"], default="bgr",
+    p.add_argument("--transfer", choices=["auto", "bgr", "yuv420"],
+                   default="auto",
                    help="Host->device frame format: bgr (3 B/px, byte-"
                         "parity path) or yuv420 (1.5 B/px planar upload, "
                         "bit-exact swscale YUV->BGR on device; accuracy-"
                         "gated fast path — the resize happens in YUV "
-                        "space).")
+                        "space).  auto (default) picks yuv420 when an "
+                        "accelerator + the native decoder are present "
+                        "and the target dims are even, bgr otherwise.")
     p.add_argument("--device-resize", action="store_true",
                    help="Resize frames on the accelerator (bit-exact cv2 "
                         "emulation) instead of the host.")
@@ -96,6 +99,13 @@ def main(args=None) -> str:
     parser = build_parser()
     ns = parser.parse_args(args)
     setup_logging()
+    if ns.transfer == "yuv420" and (ns.device_resize or ns.pallas_preprocess):
+        # Parse-time mutual exclusion (ADVICE r4): the pipeline's own
+        # ValueError would otherwise surface only after the model loads.
+        parser.error("--transfer yuv420 cannot combine with "
+                     "--device-resize/--pallas-preprocess (YUV frames "
+                     "arrive at model resolution already); use "
+                     "--transfer auto or bgr")
 
     if ns.cpu:
         from cut_detection_tpu.utils.platform import force_cpu

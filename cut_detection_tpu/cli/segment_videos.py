@@ -29,11 +29,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "starting video i+1's host decode while video i "
                         "runs on the device.")
     p.add_argument("--device-resize", action="store_true")
-    p.add_argument("--transfer", choices=["bgr", "yuv420"], default="bgr",
+    p.add_argument("--transfer", choices=["auto", "bgr", "yuv420"],
+                   default="auto",
                    help="Host->device byte format: 'yuv420' uploads "
                         "planar YUV at 1.5 B/px (half of BGR24) and "
                         "converts on device (accuracy-gated fast path; "
-                        "needs the native decoder's YUV entry points).")
+                        "needs the native decoder's YUV entry points); "
+                        "'auto' (default) picks yuv420 when it can run "
+                        "and wins, bgr otherwise.")
     p.add_argument("--precision",
                    choices=list(PRECISION_CHOICES),
                    default="float32")
@@ -52,8 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args=None) -> list[str]:
-    ns = build_parser().parse_args(args)
+    parser = build_parser()
+    ns = parser.parse_args(args)
     setup_logging()
+    if ns.transfer == "yuv420" and ns.device_resize:
+        # Mirror the pipeline's mutual-exclusion rule at parse time —
+        # otherwise the ValueError surfaces deep inside classify_video,
+        # after the model has loaded (ADVICE r4).
+        parser.error("--transfer yuv420 cannot combine with "
+                     "--device-resize (YUV frames arrive at model "
+                     "resolution already); use --transfer auto or bgr")
 
     from cut_detection_tpu.utils.cache import enable_compilation_cache
 

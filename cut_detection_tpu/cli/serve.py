@@ -211,15 +211,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Require 'Authorization: Bearer <token>' on every "
                         "endpoint except /healthz (default from "
                         "$CUTDET_AUTH_TOKEN).")
-    p.add_argument("--transfer", choices=["bgr", "yuv420"], default="bgr",
+    p.add_argument("--transfer", choices=["auto", "bgr", "yuv420"],
+                   default="auto",
                    help="Default host->device byte format for requests "
                         "that don't specify one.  'yuv420' uploads "
                         "planar YUV at 1.5 B/px (half of BGR24) and "
                         "converts on device — a fast-path mode "
                         "(YUV-space resize; accuracy-gated, not "
                         "byte-parity) needing the native decoder's YUV "
-                        "entry points.  Requests override with "
-                        '{"transfer": "bgr"|"yuv420"}.')
+                        "entry points.  'auto' (default) picks yuv420 "
+                        "when it can run and wins, bgr otherwise.  "
+                        "Requests override with "
+                        '{"transfer": "auto"|"bgr"|"yuv420"}.')
     p.add_argument("--no-decode-ahead", action="store_true",
                    help="Disable overlapping a queued request's host "
                         "decode with the in-flight request's device "
@@ -341,6 +344,41 @@ class _State:
             # gate; /healthz carries the redacted form.
             out["device"] = self.heartbeat.status()
         return out
+
+
+class CapabilityError(ValueError):
+    """A request needs a capability this server wasn't built with (e.g.
+    yuv420 transfer without the native decoder's YUV entry points).
+    Mapped to HTTP 501, not 400 — operators and monitoring must be able
+    to tell a server capability gap from a malformed request (ADVICE r4).
+    """
+
+
+def _resolved_transfer(req: dict, state: "_State") -> str:
+    """Request transfer (default: the server's), with "auto" resolved."""
+    t = req.get("transfer", state.transfer)
+    if t == "auto":
+        from cut_detection_tpu.pipeline import resolve_transfer
+
+        t = resolve_transfer("auto")
+    return t
+
+
+def _warmup_modes(state: "_State") -> list[str]:
+    """Transfer modes to pre-compile: the server default plus — when the
+    native YUV decoder is present — the other mode, so a per-request
+    override doesn't pay a minutes-long cold compile inside its own
+    request (ADVICE r4)."""
+    modes = [state.transfer]
+    try:
+        from cut_detection_tpu.data import native_video as _nv
+
+        if _nv.yuv_available():
+            other = "bgr" if state.transfer == "yuv420" else "yuv420"
+            modes.append(other)
+    except Exception:
+        pass
+    return modes
 
 
 def _warmup_net(net, batch_size: int = 128,
@@ -509,18 +547,22 @@ def _make_handler(state: _State):
                 ) if k in req
             }
             transfer = kwargs.setdefault("transfer", state.transfer)
-            if transfer not in ("bgr", "yuv420"):
+            if transfer not in ("auto", "bgr", "yuv420"):
                 if preloaded is not None:
                     preloaded[1].close()
                 raise ValueError(
-                    f"unknown transfer {transfer!r} (choices: bgr, yuv420)")
+                    f"unknown transfer {transfer!r} "
+                    "(choices: auto, bgr, yuv420)")
+            if transfer == "auto":
+                transfer = kwargs["transfer"] = _resolved_transfer(
+                    req, state)
             if transfer == "yuv420":
                 from cut_detection_tpu.data import native_video as _nv
 
                 if not _nv.yuv_available():
                     if preloaded is not None:
                         preloaded[1].close()
-                    raise ValueError(
+                    raise CapabilityError(
                         "transfer='yuv420' unavailable on this server: "
                         "the native decoder lacks YUV entry points "
                         "(make -C native)")
@@ -680,9 +722,10 @@ def _make_handler(state: _State):
             # the compile instead.
             if req.get("warmup", state.warmup_default):
                 try:
-                    logger.info("Reload warmup took %.1fs",
-                                _warmup_net(net, mesh=state.mesh,
-                                            transfer=state.transfer))
+                    for mode in _warmup_modes(state):
+                        logger.info("Reload warmup (%s) took %.1fs", mode,
+                                    _warmup_net(net, mesh=state.mesh,
+                                                transfer=mode))
                 except Exception:
                     logger.exception(
                         "reload warmup failed; swapping anyway (first "
@@ -738,6 +781,11 @@ def _make_handler(state: _State):
             if self.path == "/segment":
                 try:
                     self._reply(200, self._segment_one(paths[0], req))
+                except CapabilityError as e:
+                    # 501: the server lacks the capability — distinct
+                    # from a malformed request (ADVICE r4).
+                    fail()
+                    self._reply(501, {"error": str(e)})
                 except ValueError as e:
                     fail()
                     self._reply(400, {"error": str(e)})
@@ -759,7 +807,7 @@ def _make_handler(state: _State):
                 # pipelining never stacks decode pipelines at saturation.
                 # yuv420 requests can't consume BGR decode-ahead batches,
                 # so don't start one (the request decodes to YUV itself).
-                if req.get("transfer", state.transfer) == "yuv420":
+                if _resolved_transfer(req, state) == "yuv420":
                     return
                 if (0 <= i < len(paths) and isinstance(paths[i], str)):
                     handle = _try_prefetch(
@@ -838,8 +886,17 @@ def make_server(host: str, port: int, precision: str = "float32",
     state.spool_ttl_s = spool_ttl_hours * 3600.0
     state.auth_token = auth_token
     state.decode_ahead = decode_ahead
-    if transfer not in ("bgr", "yuv420"):
+    if transfer not in ("auto", "bgr", "yuv420"):
         raise ValueError(f"unknown transfer {transfer!r}")
+    if transfer == "auto":
+        # Resolve ONCE at startup to a concrete server default (the
+        # backend/native-lib facts won't change while the daemon runs);
+        # /metrics and request defaults then report the real mode.
+        from cut_detection_tpu.pipeline import resolve_transfer
+
+        transfer = resolve_transfer("auto")
+        logger.info("transfer=auto resolved to %s (server default)",
+                    transfer)
     if transfer == "yuv420":
         # Fail at startup, not on the first request: a daemon whose
         # default mode can never work should refuse to boot.
@@ -874,11 +931,15 @@ def make_server(host: str, port: int, precision: str = "float32",
         # get a queued TCP connect instead of connection-refused — so a
         # restart supervisor's health check doesn't kill the daemon in a
         # compile loop.
+        # Both transfer modes when available (ADVICE r4): a per-request
+        # override must not pay the full cold compile in-request.
         for nm, net in [("default", state.net)] + sorted(state.nets.items()):
-            logger.info("Warming %r: serving-shape compile...", nm)
-            logger.info("Warmed %r in %.1fs", nm,
-                        _warmup_net(net, mesh=state.mesh,
-                                    transfer=state.transfer))
+            for mode in _warmup_modes(state):
+                logger.info("Warming %r (%s): serving-shape compile...",
+                            nm, mode)
+                logger.info("Warmed %r (%s) in %.1fs", nm, mode,
+                            _warmup_net(net, mesh=state.mesh,
+                                        transfer=mode))
     return server, state
 
 

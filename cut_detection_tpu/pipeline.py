@@ -273,6 +273,48 @@ def start_decode_ahead(
     return PreloadedDecode(source, loader, batch_size, resize)
 
 
+def resolve_transfer(transfer: str = "auto", *,
+                     on_device_preprocess: bool = False,
+                     has_preloaded: bool = False) -> str:
+    """Resolve the ``transfer`` tri-state ("auto"/"bgr"/"yuv420").
+
+    "auto" is the production default (VERDICT r4 #5: the fastest
+    verified mode should be what users get, by criteria rather than
+    opt-in prose).  It picks "yuv420" — the 1.5 B/px planar upload with
+    the bit-exact swscale YUV->BGR conversion on device — exactly when
+    that mode can run and wins:
+
+    - an accelerator backend is active (on the CPU backend there is no
+      host->device transfer to halve, and bgr keeps strict byte parity
+      for tests/dev);
+    - the native decoder with YUV entry points is built;
+    - the caller isn't doing on-device preprocessing or consuming a BGR
+      decode-ahead handle (both need BGR frames).
+
+    Everything else resolves to "bgr" (the byte-parity path; one flag —
+    ``--transfer bgr`` — away at any time).  Per-video odd-dimension
+    fallback still happens inside ``classify_video`` (swscale's
+    interpolating path for odd targets is not emulated).
+    """
+    if transfer != "auto":
+        return transfer
+    if on_device_preprocess or has_preloaded:
+        return "bgr"
+    try:
+        if jax.default_backend() == "cpu":
+            return "bgr"
+    except Exception:  # backend init failure surfaces elsewhere
+        return "bgr"
+    try:
+        from cut_detection_tpu.data import native_video as _nv
+
+        if not _nv.yuv_available():
+            return "bgr"
+    except Exception:
+        return "bgr"
+    return "yuv420"
+
+
 def _resolve_decode_process(decode_process) -> bool:
     """Resolve the ``decode_process`` tri-state ("auto"/True/False).
 
@@ -311,7 +353,7 @@ def classify_video(
     prefetch_batches: int = 2,
     preloaded=None,
     decode_process: bool | str = "auto",
-    transfer: str = "bgr",
+    transfer: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
     """Run decode + classification; return per-frame (conf, pred, stats).
 
@@ -335,7 +377,10 @@ def classify_video(
     accuracy-gated like the bf16 rungs rather than byte-parity-
     guaranteed.  Falls back to "bgr" (logged) when the target height is
     odd (swscale's interpolating path, not emulated); raises when the
-    native decoder isn't built.
+    native decoder isn't built.  The default, ``"auto"``, picks yuv420
+    exactly when it can run and wins (accelerator backend + native
+    decoder; see :func:`resolve_transfer`), bgr otherwise — byte parity
+    with the reference stays one ``transfer="bgr"`` away.
     """
     if cache_path and os.path.isfile(cache_path):
         # A cache is only valid for the run shape that wrote it: a
@@ -375,8 +420,13 @@ def classify_video(
 
     on_device_preprocess = device_resize or pallas_preprocess
     yuv_dims = None
-    if transfer not in ("bgr", "yuv420"):
+    if transfer not in ("auto", "bgr", "yuv420"):
         raise ValueError(f"unknown transfer mode {transfer!r}")
+    if transfer == "auto":
+        transfer = resolve_transfer(
+            "auto", on_device_preprocess=on_device_preprocess,
+            has_preloaded=preloaded is not None)
+        logger.info("transfer=auto resolved to %s", transfer)
     if transfer == "yuv420":
         if on_device_preprocess:
             raise ValueError(
@@ -647,7 +697,7 @@ def segment_video_file(
     device_glue: bool = False,
     preloaded=None,
     decode_process: bool | str = "auto",
-    transfer: str = "bgr",
+    transfer: str = "auto",
 ) -> tuple[str, Segmentation, PipelineStats]:
     """Full pipeline to CSV; returns (csv_path, segmentation, stats).
 
@@ -710,6 +760,14 @@ def segment_many(
             "default naming)")
     if net is None:
         net, _ = load_default_net(precision=precision)
+    # Resolve "auto" ONCE for the whole batch so decode-ahead and the
+    # per-video pipeline agree on the byte format (a per-video resolve
+    # would see the BGR decode-ahead handle and silently flip to bgr).
+    if kwargs.get("transfer", "auto") == "auto":
+        kwargs["transfer"] = resolve_transfer(
+            "auto", on_device_preprocess=bool(
+                kwargs.get("device_resize")
+                or kwargs.get("pallas_preprocess")))
     # On-device preprocess needs raw frames, which decode-ahead's
     # host-resized pipeline can't provide (classify_video rejects the
     # combination), so pipelining only applies to the host-resize path;

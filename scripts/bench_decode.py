@@ -36,6 +36,52 @@ print(n / (time.perf_counter() - t0))
 """
 
 
+# Interleaved A/B in ONE process (VERDICT r4 #6: the "decode-to-YUV is
+# faster" claim must be substantiated back-to-back, not across drifting
+# windows): alternates full decode passes BGR(cv2) / BGR(native) /
+# YUV(native, target-size) and reports per-repeat rates + medians.
+WORKER_AB = r"""
+import json, statistics, sys, time
+sys.path.insert(0, "/root/repo")
+clip, reps = sys.argv[1], int(sys.argv[2])
+from cut_detection_tpu.data.video import VideoFrameSource
+from cut_detection_tpu.data.native_video import (
+    NativeVideoSource, NativeYUVSource, yuv_available)
+
+def run(make):
+    src = make(); t0 = time.perf_counter(); n = 0
+    for _ in src:
+        n += 1
+    dt = time.perf_counter() - t0
+    if hasattr(src, "close"):
+        src.close()
+    return n / dt
+
+cfgs = {"bgr_cv2": lambda: VideoFrameSource(clip, resize=256),
+        "bgr_native": lambda: NativeVideoSource(clip, resize=256)}
+if yuv_available():
+    cfgs["yuv_native"] = lambda: NativeYUVSource(clip, resize=256)
+rates = {k: [] for k in cfgs}
+for r in range(reps):
+    for k, mk in cfgs.items():
+        rates[k].append(round(run(mk), 1))
+print(json.dumps({k: {"reps": v,
+                      "median": round(statistics.median(v), 1)}
+                  for k, v in rates.items()}))
+"""
+
+
+def run_ab(clip: str, reps: int = 3) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    out = subprocess.run([sys.executable, "-c", WORKER_AB, clip, str(reps)],
+                         capture_output=True, text=True, env=env,
+                         timeout=1200)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-500:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_one(backend: str, clip: str, threads: str | None) -> float:
     env = dict(os.environ)
     env.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)
@@ -69,6 +115,10 @@ def main():
         except Exception as e:
             res[name] = f"unavailable: {e}"[:120]
     res["cores"] = os.cpu_count()
+    try:
+        res["ab_one_process"] = run_ab(clip)
+    except Exception as e:
+        res["ab_one_process"] = f"failed: {e}"[:200]
     print(json.dumps(res))
 
 

@@ -216,3 +216,35 @@ def test_init_devices_malformed_timeout_env(monkeypatch):
         monkeypatch.setenv("CUTDET_INIT_TIMEOUT", bad)
         assert len(plat.init_devices()) >= 1          # default: unbounded
         assert len(plat.init_devices(default_timeout=30)) >= 1
+
+
+def test_segment_video_cli_rejects_yuv_plus_device_resize(tmp_path):
+    """ADVICE r4: the transfer/device-resize mutual exclusion surfaces at
+    parse time (SystemExit 2), not as a ValueError after model load."""
+    import pytest as _pytest
+
+    from cut_detection_tpu.cli.segment_video import main as sv_main
+    from cut_detection_tpu.cli.segment_videos import main as svs_main
+
+    with _pytest.raises(SystemExit) as ei:
+        sv_main(["x.mp4", "--transfer", "yuv420", "--device-resize"])
+    assert ei.value.code == 2
+    with _pytest.raises(SystemExit) as ei:
+        sv_main(["x.mp4", "--transfer", "yuv420", "--pallas-preprocess"])
+    assert ei.value.code == 2
+    with _pytest.raises(SystemExit) as ei:
+        svs_main(["x.mp4", "--transfer", "yuv420", "--device-resize"])
+    assert ei.value.code == 2
+
+
+def test_segment_video_cli_transfer_default_is_auto():
+    from cut_detection_tpu.cli.segment_video import build_parser
+    from cut_detection_tpu.cli.segment_videos import (
+        build_parser as batch_parser,
+    )
+
+    assert build_parser().parse_args(["x.mp4"]).transfer == "auto"
+    assert batch_parser().parse_args(["x.mp4"]).transfer == "auto"
+    # auto + --device-resize is fine: it resolves to bgr downstream.
+    ns = build_parser().parse_args(["x.mp4", "--device-resize"])
+    assert ns.transfer == "auto"

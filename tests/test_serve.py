@@ -739,7 +739,10 @@ def test_reload_warmup_follows_server_policy(monkeypatch):
         status, _ = _post(base + "/reload", {})
         assert status == 200 and calls == []  # policy: no warmup
         status, _ = _post(base + "/reload", {"warmup": True})
-        assert status == 200 and calls == [1]  # explicit override
+        # Explicit override warms every available transfer mode (ADVICE
+        # r4: per-request overrides must not pay a cold compile).
+        assert status == 200
+        assert calls == [1] * len(serve_mod._warmup_modes(state))
     finally:
         srv.shutdown()
 
@@ -1017,4 +1020,70 @@ def test_serve_parser_transfer_flag():
 
     ns = build_parser().parse_args(["--transfer", "yuv420"])
     assert ns.transfer == "yuv420"
-    assert build_parser().parse_args([]).transfer == "bgr"
+    # Production default is auto (VERDICT r4 #5); on the CPU test
+    # backend it resolves to bgr (byte-parity path).
+    assert build_parser().parse_args([]).transfer == "auto"
+    from cut_detection_tpu.pipeline import resolve_transfer
+
+    assert resolve_transfer("auto") == "bgr"  # forced-CPU test backend
+
+
+def test_segment_capability_missing_is_501(server, synthetic_video,
+                                           monkeypatch):
+    """yuv420 on a server whose native decoder lacks YUV entry points is
+    a CAPABILITY gap -> 501, not a 400 client error (ADVICE r4)."""
+    import cut_detection_tpu.data.native_video as nv
+
+    base, _ = server
+    monkeypatch.setattr(nv, "yuv_available", lambda: False)
+    status, data = _post(base + "/segment", {
+        "input_path": synthetic_video, "transfer": "yuv420",
+    })
+    assert status == 501
+    assert "unavailable on this server" in data["error"]
+
+
+def test_segment_request_transfer_auto_resolves(server, synthetic_video,
+                                                tmp_path):
+    """Per-request {"transfer": "auto"} resolves (to bgr on the CPU test
+    backend) and serves normally."""
+    base, _ = server
+    out = str(tmp_path / "auto.csv")
+    status, data = _post(base + "/segment", {
+        "input_path": synthetic_video, "output_path": out,
+        "batch_size": 64, "transfer": "auto",
+    })
+    assert status == 200
+    assert data["stats"]["frames"] > 0
+
+
+def test_make_server_transfer_auto_resolves_concrete():
+    """make_server resolves transfer='auto' to a concrete server default
+    at startup (bgr on the CPU test backend)."""
+    from cut_detection_tpu.cli.serve import make_server
+
+    srv, state = make_server("127.0.0.1", 0, transfer="auto")
+    try:
+        assert state.transfer == "bgr"
+    finally:
+        srv.server_close()
+
+
+def test_warmup_modes_cover_both_transfers():
+    """With the native YUV decoder present, warmup covers both byte
+    formats so per-request overrides never pay a cold compile in-request
+    (ADVICE r4)."""
+    from cut_detection_tpu.cli import serve as serve_mod
+    from cut_detection_tpu.data import native_video as nv
+
+    class S:
+        transfer = "bgr"
+
+    modes = serve_mod._warmup_modes(S())
+    if nv.yuv_available():
+        assert modes == ["bgr", "yuv420"]
+    else:
+        assert modes == ["bgr"]
+    S.transfer = "yuv420"
+    if nv.yuv_available():
+        assert serve_mod._warmup_modes(S()) == ["yuv420", "bgr"]
