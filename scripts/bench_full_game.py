@@ -25,6 +25,11 @@ Usage (TPU, solo — nothing else may touch JAX):
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_full_game.py
 Env: FULL_GAME_FRAMES (default 324000), FULL_GAME_MODES, FULL_GAME_OUT
 (default docs/FULL_GAME.json), FULL_GAME_WORKERS (decode workers, 1).
+
+Invocations are INCREMENTAL: each run merges its modes into an existing
+OUT record (same frame count) and recomputes the parity flags from the
+per-mode CSVs left in /tmp, so a long multi-mode measurement can be
+split across runs and committed piecewise.
 """
 
 from __future__ import annotations
@@ -112,6 +117,18 @@ def main() -> None:
     nets: dict = {}
     runs: dict = {}
     csvs: dict = {}
+    # Merge base: modes measured by a previous invocation at the same
+    # frame count (their CSVs persist in /tmp for the parity flags).
+    if os.path.isfile(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        if prev.get("clip", {}).get("frames") == FRAMES:
+            runs.update(prev.get("modes", {}))
+            for key in runs:
+                path = f"/tmp/full_game_{key}.csv"
+                if os.path.isfile(path):
+                    with open(path, "rb") as f:
+                        csvs[key] = f.read()
     for transfer, precision in MODES:
         if precision not in nets:
             nets[precision], _ = load_default_net(precision=precision)
