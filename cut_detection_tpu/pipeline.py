@@ -334,6 +334,29 @@ def _resolve_decode_process(decode_process) -> bool:
     return bool(decode_process)
 
 
+#: Max operands per device ``jnp.concatenate`` in the final score
+#: collect.  One flat concatenate over a 3h game's ~2.5k per-batch
+#: vectors builds a 2,532-operand XLA program (and marshals 2,532
+#: buffer handles through the relay in ONE call) — measured round 5 as
+#: a multi-minute one-off compile stall in the post-loop tail of the
+#: first 324k-frame run.  Bounded fan-in keeps every compiled program
+#: small and REUSABLE across levels and runs: 2,532 vectors become 20
+#: concat-128 calls (one cached program) + one concat-20, all warm
+#: after the first window of any long video.
+_CONCAT_FAN_IN = 128
+
+
+def _bounded_concat(parts: list):
+    """Concatenate device arrays with bounded fan-in (see _CONCAT_FAN_IN)."""
+    while len(parts) > 1:
+        parts = [
+            jnp.concatenate(group) if len(group) > 1 else group[0]
+            for group in (parts[i:i + _CONCAT_FAN_IN]
+                          for i in range(0, len(parts), _CONCAT_FAN_IN))
+        ]
+    return parts[0]
+
+
 def classify_video(
     input_path: str,
     net: GluedNet | None = None,
@@ -591,8 +614,8 @@ def classify_video(
     # per-batch gets were most of the pipeline's gap over its serial
     # stage sum).  Padding is sliced out host-side via the valid mask.
     if confs:
-        conf_all = np.asarray(jax.device_get(jnp.concatenate(confs)))
-        pred_all = np.asarray(jax.device_get(jnp.concatenate(preds)))
+        conf_all = np.asarray(jax.device_get(_bounded_concat(confs)))
+        pred_all = np.asarray(jax.device_get(_bounded_concat(preds)))
         mask = np.zeros((len(valids), batch_size), bool)
         for i, v in enumerate(valids):
             mask[i, :v] = True

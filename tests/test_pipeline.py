@@ -850,3 +850,30 @@ def test_classify_video_transfer_auto_on_cpu(synthetic_video):
 
     np.testing.assert_array_equal(conf_a, conf_b)
     np.testing.assert_array_equal(pred_a, pred_b)
+
+
+def test_bounded_concat_matches_flat_concatenate():
+    """_bounded_concat must equal one flat concatenate for every list
+    length around the fan-in boundary (1, fan-1, fan, fan+1, multi-level)
+    and preserve dtype.  The bound exists because a 3h game's ~2.5k
+    per-batch score vectors in ONE jnp.concatenate built a 2,532-operand
+    XLA program whose one-off compile stalled the post-loop tail for
+    minutes through the relay (round 5, first 324k-frame run)."""
+    import jax.numpy as jnp
+
+    from cut_detection_tpu.pipeline import _CONCAT_FAN_IN, _bounded_concat
+
+    fan = _CONCAT_FAN_IN
+    rng = np.random.default_rng(0)
+    for n in (1, 2, fan - 1, fan, fan + 1, 2 * fan + 3):
+        parts = [jnp.asarray(rng.integers(0, 100, 4).astype(np.float32))
+                 for _ in range(n)]
+        got = np.asarray(_bounded_concat(parts))
+        want = np.asarray(jnp.concatenate(parts)) if n > 1 \
+            else np.asarray(parts[0])
+        np.testing.assert_array_equal(got, want)
+    ints = [jnp.asarray(np.array([i], np.int32)) for i in range(fan + 2)]
+    out = _bounded_concat(ints)
+    assert out.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.arange(fan + 2, dtype=np.int32))
